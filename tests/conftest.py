@@ -1,0 +1,42 @@
+"""Test config: force an 8-virtual-device CPU platform.
+
+This is the standard JAX trick for testing distributed code without a pod
+(SURVEY.md section 5 "Distributed without a cluster"): all shard_map / halo /
+mesh tests run against 8 fake CPU devices; identical code runs on a real
+v5e-8.
+
+NOTE: in this environment importing pytest already imports jax, so env vars
+alone are latched too late — we also override jax.config directly (backends
+initialize lazily, so this is still in time as long as no array was created
+at import).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    devs = jax.devices()
+    assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"
+    assert len(devs) == 8, f"expected 8 virtual CPU devices, got {len(devs)}"
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

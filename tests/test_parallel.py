@@ -1,0 +1,108 @@
+"""Distribution tests on the 8-virtual-device CPU mesh (SURVEY.md section 5
+"Distributed without a cluster"). The key test pins the spatially sharded
+solver to the single-device oracle to tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from videomorphing_tpu.config import MorphParams, SynthParams
+from videomorphing_tpu.ops.windows import gaussian_kernel_1d, separable_filter
+from videomorphing_tpu.parallel.frames import optimize_pairs_batched, render_clip_sharded
+from videomorphing_tpu.parallel.halo import halo_exchange_rows
+from videomorphing_tpu.parallel.mesh import make_mesh
+from videomorphing_tpu.parallel.spatial import make_spatial_level_solver
+from videomorphing_tpu.solver.descent import make_level_solver
+from videomorphing_tpu.solver.energy import make_level_data
+from videomorphing_tpu.synth.render import render_clip
+
+
+def _smooth(rng, h, w, c=3):
+    img = jnp.asarray(rng.random((h, w, c), dtype=np.float32))
+    k = gaussian_kernel_1d(5, 1.5)
+    return separable_filter(img, k, k, mode="same_edge")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(axis_names=("y",))
+
+
+class TestHalo:
+    def test_halo_exchange_matches_global(self, mesh):
+        n = len(jax.devices())
+        h, w = 8 * n, 6
+        x = jnp.arange(h * w, dtype=jnp.float32).reshape(h, w)
+        halo = 2
+
+        def fn(blk):
+            return halo_exchange_rows(blk, halo, "y")
+
+        out = jax.shard_map(
+            fn, mesh=mesh, in_specs=P("y"), out_specs=P("y"), check_vma=False
+        )(x)
+        # each device block of the output must equal the zero-padded global
+        # slice [start-halo, end+halo)
+        out = np.asarray(out).reshape(n, 8 + 2 * halo, w)
+        xp = np.pad(np.asarray(x), ((halo, halo), (0, 0)))
+        for i in range(n):
+            np.testing.assert_array_equal(out[i], xp[i * 8 : i * 8 + 8 + 2 * halo])
+
+
+class TestSpatialSolver:
+    @pytest.mark.parametrize("n_colors", [1, 2])
+    def test_matches_single_device(self, rng, mesh, n_colors):
+        n = len(jax.devices())
+        h, w = 8 * n, 48
+        i0 = _smooth(rng, h, w)
+        i1 = _smooth(rng, h, w)
+        p = MorphParams(n_colors=n_colors, lambda_tps=0.01)
+        n_iters = 6
+
+        data = make_level_data(i0, i1)
+        v0 = jnp.zeros((h, w, 2))
+
+        ref_solve = jax.jit(make_level_solver(p, n_iters))
+        v_ref, st_ref = ref_solve(v0, data)
+
+        sp_solve = make_spatial_level_solver(p, n_iters, mesh, axis="y")
+        v_sp, st_sp = sp_solve(v0, data)
+
+        np.testing.assert_allclose(
+            float(st_sp.e0), float(st_ref.e0), rtol=1e-5
+        )
+        # psum reduction order differs from the global sum -> tiny fp noise
+        # accumulates over iterations; tolerance covers that, not semantics
+        np.testing.assert_allclose(
+            np.asarray(v_sp), np.asarray(v_ref), atol=2e-3, rtol=0
+        )
+        np.testing.assert_allclose(
+            float(st_sp.e_final), float(st_ref.e_final), rtol=1e-4
+        )
+
+
+class TestFrameDP:
+    def test_render_clip_sharded_matches_local(self, rng, mesh):
+        i0 = _smooth(rng, 24, 24)
+        i1 = _smooth(rng, 24, 24)
+        v = jnp.zeros((24, 24, 2)).at[..., 1].set(1.0)
+        ts = jnp.linspace(0.0, 1.0, 11)  # not a multiple of 8: tests padding
+        sp = SynthParams(blend_mode="linear")
+        local = render_clip(i0, i1, v, None, ts, sp)
+        sharded = render_clip_sharded(i0, i1, v, None, ts, mesh, sp, axis="y")
+        assert sharded.shape == local.shape
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(local), atol=1e-5)
+
+    def test_optimize_pairs_batched(self, rng, mesh):
+        n = len(jax.devices())
+        h = w = 32
+        i0s = jnp.stack([_smooth(rng, h, w) for _ in range(n)])
+        i1s = jnp.roll(i0s, 2, axis=2)  # shift each pair in x by 2
+        p = MorphParams(n_levels=2, iters_coarse=30, iters_fine=15)
+        v = optimize_pairs_batched(i0s, i1s, mesh, params=p, axis="y")
+        assert v.shape == (n, h, w, 2)
+        # each pair should find vx ~ +1 halfway shift in the interior
+        center = np.asarray(v)[:, 12:20, 12:20, 1]
+        assert abs(center.mean() - 1.0) < 0.5

@@ -1,0 +1,124 @@
+"""Video pipeline tests: flow, occlusion, propagation, scan solve
+(SURVEY.md section 5 "Temporal")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videomorphing_tpu.config import MorphParams, SynthParams, VideoParams
+from videomorphing_tpu.ops.resample import grid_coords
+from videomorphing_tpu.video.flow import clip_flows, flow_pair
+from videomorphing_tpu.video.occlusion import occlusion_confidence
+from videomorphing_tpu.video.pipeline import morph_video, solve_clip_fields
+from videomorphing_tpu.video.temporal import advect_halfway_field, bilinear_splat, track_points
+
+
+def _blob_frame(h, w, cy, cx, sigma=4.0, c=3):
+    g = grid_coords(h, w)
+    d2 = (g[..., 0] - cy) ** 2 + (g[..., 1] - cx) ** 2
+    img = jnp.exp(-0.5 * d2 / sigma**2)
+    return jnp.stack([img, 0.8 * img, 0.6 * img], -1)[..., :c]
+
+
+def _moving_clip(t_len, h, w, start, vel):
+    return jnp.stack(
+        [_blob_frame(h, w, start[0] + k * vel[0], start[1] + k * vel[1]) for k in range(t_len)]
+    )
+
+
+class TestFlow:
+    def test_translation_flow(self):
+        h = w = 48
+        a = _blob_frame(h, w, 24, 20)
+        b = _blob_frame(h, w, 24, 23)
+        vp = VideoParams(flow_alpha=12.0, flow_iters=80, flow_warps=4)
+        u = flow_pair(a, b, vp)
+        # HS flow maps a->b with b(p+u)=a(p): blob at x=20 in a corresponds
+        # to x=23 in b -> u_x ~ +3 near the blob
+        region = np.asarray(u)[20:29, 16:25]
+        assert abs(region[..., 1].mean() - 3.0) < 0.5, region[..., 1].mean()
+        assert abs(region[..., 0].mean()) < 0.3
+
+    def test_clip_flows_shapes(self):
+        clip = _moving_clip(4, 24, 24, (12, 8), (0, 1))
+        fwd, bwd = clip_flows(clip, VideoParams(flow_iters=20))
+        assert fwd.shape == (3, 24, 24, 2)
+        assert bwd.shape == (3, 24, 24, 2)
+
+
+class TestOcclusion:
+    def test_consistent_flows_confident(self):
+        f = jnp.full((16, 16, 2), 1.0)
+        conf = occlusion_confidence(f, -f, VideoParams())
+        assert float(conf.mean()) > 0.85
+
+    def test_inconsistent_flows_occluded(self):
+        f = jnp.full((16, 16, 2), 3.0)
+        conf = occlusion_confidence(f, f, VideoParams())  # round trip = 6px
+        assert float(conf.mean()) < 0.15
+
+
+class TestTemporal:
+    def test_splat_roundtrip(self, rng):
+        h = w = 16
+        vals = jnp.asarray(rng.random((h, w, 2), dtype=np.float32))
+        g = grid_coords(h, w)
+        acc, wgt = bilinear_splat(vals, g, (h, w))
+        np.testing.assert_allclose(np.asarray(wgt), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(acc), np.asarray(vals), atol=1e-5)
+
+    def test_advect_under_common_translation(self):
+        # both clips translate by (0, 1): endpoints shift together, so the
+        # halfway field is preserved (shifted by one pixel)
+        h = w = 24
+        v_prev = jnp.zeros((h, w, 2)).at[..., 1].set(1.5)
+        flow = jnp.zeros((h, w, 2)).at[..., 1].set(1.0)
+        tc_v, tc_w = advect_halfway_field(v_prev, flow, flow, VideoParams())
+        inner = np.asarray(tc_v)[4:-4, 4:-4]
+        np.testing.assert_allclose(inner[..., 1], 1.5, atol=1e-2)
+        assert float(np.asarray(tc_w)[4:-4, 4:-4].mean()) > 0.9
+
+    def test_track_points(self):
+        flow = jnp.zeros((16, 16, 2)).at[..., 1].set(2.0)
+        pts = jnp.asarray([[[8.0, 4.0], [8.0, 6.0]]])
+        out = track_points(pts, flow, flow)
+        np.testing.assert_allclose(np.asarray(out), [[[8, 6], [8, 8]]], atol=1e-5)
+
+
+class TestPipeline:
+    def test_moving_blob_video(self):
+        # clip A: blob moving right from x=10; clip B: same blob offset +4 in x
+        t_len, h, w = 4, 32, 32
+        clip_a = _moving_clip(t_len, h, w, (16, 10), (0, 1))
+        clip_b = _moving_clip(t_len, h, w, (16, 14), (0, 1))
+        mp = MorphParams(n_levels=2, iters_coarse=40, iters_fine=20)
+        vp = VideoParams(flow_iters=30)
+        fields, tracked, _flows = solve_clip_fields(clip_a, clip_b, None, mp, vp)
+        assert fields.shape == (t_len, h, w, 2)
+        # every frame's halfway field should be ~(0, +2) near the blob
+        for k in range(t_len):
+            cx = 12 + k  # halfway blob center x
+            reg = np.asarray(fields)[k, 12:21, cx - 3 : cx + 4]
+            assert abs(reg[..., 1].mean() - 2.0) < 0.8, (k, reg[..., 1].mean())
+
+    def test_morph_video_renders(self):
+        t_len, h, w = 3, 24, 24
+        clip_a = _moving_clip(t_len, h, w, (12, 8), (0, 1))
+        clip_b = _moving_clip(t_len, h, w, (12, 12), (0, 1))
+        mp = MorphParams(n_levels=2, iters_coarse=20, iters_fine=10)
+        res = morph_video(
+            clip_a, clip_b,
+            mp=mp,
+            sp=SynthParams(blend_mode="linear"),
+            vp=VideoParams(flow_iters=20),
+        )
+        assert res.frames.shape == clip_a.shape
+        assert res.fields.shape == (t_len, h, w, 2)
+        # first output frame is ~clip A frame 0, last ~clip B frame 2
+        np.testing.assert_allclose(
+            np.asarray(res.frames[0]), np.asarray(clip_a[0]), atol=0.12
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.frames[-1]), np.asarray(clip_b[-1]), atol=0.12
+        )

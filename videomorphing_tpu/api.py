@@ -1,0 +1,111 @@
+"""Public library API (L5).
+
+The reference's public surface is its Qt GUI; the rebuild's is this module +
+the CLI (SURVEY.md section 2 layer L5): image pair or clip pair + sparse
+correspondences in, morph frames out.
+
+    import videomorphing_tpu as vm
+    frames = vm.api.morph_pair(i0, i1, points, n_frames=16)
+    result = vm.api.morph_clips(clip_a, clip_b, points)
+
+``Session`` supports the reference's interactive loop (SURVEY.md section 4
+stack E): update points, re-solve warm-started from the current field, render
+a preview — same jitted code path, no special mode.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from videomorphing_tpu.config import MorphParams, SynthParams, VideoParams
+from videomorphing_tpu.models.image_morph import ImageMorpher, MorphArtifacts
+from videomorphing_tpu.models.video_morph import VideoMorpher
+from videomorphing_tpu.video.pipeline import VideoResult
+
+
+def morph_pair(
+    i0,
+    i1,
+    points=None,
+    n_frames: int = 16,
+    mp: MorphParams = MorphParams(),
+    sp: SynthParams = SynthParams(),
+) -> jnp.ndarray:
+    """Morph an image pair: (H, W, C) x2 -> (n_frames, H, W, C)."""
+    return ImageMorpher(mp, sp)(_dev(i0), _dev(i1), _pts(points), n_frames)
+
+
+def solve_pair(i0, i1, points=None, mp=MorphParams(), sp=SynthParams()) -> MorphArtifacts:
+    """Solve only (field + bulge), for callers that render separately."""
+    return ImageMorpher(mp, sp).solve(_dev(i0), _dev(i1), _pts(points))
+
+
+def morph_clips(
+    clip_a,
+    clip_b,
+    points=None,
+    times=None,
+    mp: MorphParams = MorphParams(),
+    sp: SynthParams = SynthParams(),
+    vp: VideoParams = VideoParams(),
+    render: bool = True,
+) -> VideoResult:
+    """Morph a clip pair: (T, H, W, C) x2 -> VideoResult with (T, H, W, C)."""
+    return VideoMorpher(mp, sp, vp)(
+        _dev(clip_a), _dev(clip_b), _pts(points), times=times, render=render
+    )
+
+
+class Session:
+    """Interactive morphing session with warm restarts on point edits."""
+
+    def __init__(self, i0, i1, mp: MorphParams = MorphParams(), sp: SynthParams = SynthParams()):
+        self.i0 = _dev(i0)
+        self.i1 = _dev(i1)
+        self.morpher = ImageMorpher(mp, sp)
+        self.points: Optional[jnp.ndarray] = None
+        self.art: Optional[MorphArtifacts] = None
+
+    def update_points(self, points) -> MorphArtifacts:
+        """Re-solve with edited points, warm-started from the current field."""
+        self.points = _pts(points)
+        v0 = self.art.v if self.art is not None else None
+        res = self.morpher.solve(self.i0, self.i1, self.points, v0=v0)
+        self.art = res
+        return res
+
+    def solve(self) -> MorphArtifacts:
+        if self.art is None:
+            self.art = self.morpher.solve(self.i0, self.i1, self.points)
+        return self.art
+
+    def preview(self, t: float = 0.5) -> jnp.ndarray:
+        """The halfway-view equivalent: render one frame at time t."""
+        art = self.solve()
+        return self.morpher.render_one(self.i0, self.i1, art, t)
+
+    def render(self, n_frames: int = 16) -> jnp.ndarray:
+        art = self.solve()
+        ts = jnp.linspace(0.0, 1.0, n_frames)
+        return self.morpher.render(self.i0, self.i1, art, ts)
+
+
+def _dev(x) -> jnp.ndarray:
+    arr = jnp.asarray(x)
+    if arr.dtype in (jnp.uint8,):
+        arr = arr.astype(jnp.float32) / 255.0
+    return arr.astype(jnp.float32) if arr.dtype != jnp.float32 else arr
+
+
+def _pts(points) -> Optional[jnp.ndarray]:
+    if points is None:
+        return None
+    pts = jnp.asarray(points, jnp.float32)
+    if pts.ndim != 3 or pts.shape[1:] != (2, 2):
+        raise ValueError(
+            f"points must be (N, 2, 2): [[y0,x0],[y1,x1]] pairs, got {pts.shape}"
+        )
+    return pts

@@ -1,0 +1,241 @@
+"""Command-line interface (L5): ``vmorph pair | video | batch | bench``.
+
+Every run emits the BASELINE metrics (frames/sec, optimizer iters/sec/Mpixel)
+as JSON lines — "every run is a benchmark run" (SURVEY.md section 6).
+
+Examples:
+    python -m videomorphing_tpu.cli pair a.png b.png --points pts.json \
+        --frames 16 --out out_dir
+    python -m videomorphing_tpu.cli video clipA/ clipB/ --out morph.npz
+    python -m videomorphing_tpu.cli project job.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from videomorphing_tpu.config import MorphParams, SynthParams, VideoParams
+from videomorphing_tpu.io.clips import load_clip, save_clip
+from videomorphing_tpu.io.images import load_image, save_image
+from videomorphing_tpu.io.project import Project, load_project
+from videomorphing_tpu.utils.checkpoint import FieldStore
+from videomorphing_tpu.utils.logging import MetricsLogger, level_record
+
+
+def _load_points(path: Optional[str]) -> Optional[np.ndarray]:
+    if not path:
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    pts = np.asarray(d["points"] if isinstance(d, dict) else d, np.float32)
+    return pts
+
+
+def _add_param_overrides(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--lambda-tps", type=float, default=None)
+    ap.add_argument("--gamma-ui", type=float, default=None)
+    ap.add_argument("--beta-tc", type=float, default=None)
+    ap.add_argument("--levels", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None, help="iters at coarsest level")
+    ap.add_argument("--blend", choices=["linear", "poisson"], default=None)
+    ap.add_argument("--no-quadratic-paths", action="store_true")
+    ap.add_argument("--verbose", "-v", action="store_true")
+
+
+def _params_from_args(args) -> tuple[MorphParams, SynthParams, VideoParams]:
+    mp = MorphParams()
+    if args.lambda_tps is not None:
+        mp = dataclasses.replace(mp, lambda_tps=args.lambda_tps)
+    if args.gamma_ui is not None:
+        mp = dataclasses.replace(mp, gamma_ui=args.gamma_ui)
+    if getattr(args, "beta_tc", None) is not None:
+        mp = dataclasses.replace(mp, beta_tc=args.beta_tc)
+    if args.levels is not None:
+        mp = dataclasses.replace(mp, n_levels=args.levels)
+    if args.iters is not None:
+        mp = dataclasses.replace(mp, iters_coarse=args.iters)
+    sp = SynthParams()
+    if args.blend is not None:
+        sp = dataclasses.replace(sp, blend_mode=args.blend)
+    if args.no_quadratic_paths:
+        sp = dataclasses.replace(sp, quadratic_paths=False)
+    return mp, sp, VideoParams()
+
+
+def cmd_pair(args) -> int:
+    from videomorphing_tpu import api
+
+    m = MetricsLogger(verbose=args.verbose)
+    mp, sp, _ = _params_from_args(args)
+    i0 = load_image(args.image_a)
+    i1 = load_image(args.image_b)
+    points = _load_points(args.points)
+
+    t0 = time.perf_counter()
+    with m.phase("solve"):
+        art = api.solve_pair(i0, i1, points, mp, sp)
+        art.v.block_until_ready()
+    for li, st in enumerate(art.result.level_stats):
+        m.emit("level", **level_record(li, art.v.shape, st))
+    with m.phase("render"):
+        import jax.numpy as jnp
+
+        ts = jnp.linspace(0.0, 1.0, args.frames)
+        frames = api.ImageMorpher(mp, sp).render(
+            api._dev(i0), api._dev(i1), art, ts
+        )
+        frames.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    h, w = i0.shape[:2]
+    total_iters = sum(int(s.iters) for s in art.result.level_stats)
+    m.emit(
+        "metrics",
+        frames_per_sec=args.frames / dt,
+        iters_per_sec_per_mpix=total_iters / dt / (h * w / 1e6),
+        wall_seconds=dt,
+    )
+    save_clip(args.out, np.asarray(frames))
+    print(f"wrote {args.frames} frames to {args.out} in {dt:.2f}s")
+    return 0
+
+
+def cmd_video(args) -> int:
+    from videomorphing_tpu import api
+
+    m = MetricsLogger(verbose=args.verbose)
+    mp, sp, vp = _params_from_args(args)
+    clip_a = load_clip(args.clip_a)
+    clip_b = load_clip(args.clip_b)
+    points = _load_points(args.points)
+    t_len, h, w = clip_a.shape[:3]
+
+    store = FieldStore(args.fields) if args.fields else None
+    t0 = time.perf_counter()
+    with m.phase("video"):
+        res = api.morph_clips(clip_a, clip_b, points, mp=mp, sp=sp, vp=vp)
+        res.frames.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    if store is not None:
+        store.init(t_len, h, w)
+        store.put(np.arange(t_len), np.asarray(res.fields), np.asarray(res.bulges))
+        store.save()
+
+    m.emit(
+        "metrics",
+        frames_per_sec=t_len / dt,
+        wall_seconds=dt,
+        resolution=f"{h}x{w}",
+    )
+    save_clip(args.out, np.asarray(res.frames))
+    print(f"wrote {t_len} morph frames ({h}x{w}) to {args.out} in {dt:.2f}s")
+    return 0
+
+
+def cmd_project(args) -> int:
+    proj = load_project(args.project)
+    sub_args = argparse.Namespace(
+        lambda_tps=None, gamma_ui=None, beta_tc=None, levels=None, iters=None,
+        blend=None, no_quadratic_paths=False, verbose=args.verbose,
+        points=None, out=proj.output, fields=None,
+    )
+    is_clip = not proj.source_a.lower().endswith((".png", ".jpg", ".jpeg"))
+    if is_clip:
+        sub_args.clip_a = proj.source_a
+        sub_args.clip_b = proj.source_b
+        return _run_project_video(proj, sub_args)
+    sub_args.image_a = proj.source_a
+    sub_args.image_b = proj.source_b
+    sub_args.frames = proj.n_frames
+    return _run_project_pair(proj, sub_args)
+
+
+def _run_project_pair(proj: Project, args) -> int:
+    from videomorphing_tpu import api
+    import jax.numpy as jnp
+
+    i0 = load_image(args.image_a)
+    i1 = load_image(args.image_b)
+    t0 = time.perf_counter()
+    art = api.solve_pair(i0, i1, proj.points, proj.morph, proj.synth)
+    ts = (
+        jnp.asarray(proj.times)
+        if proj.times is not None
+        else jnp.linspace(0.0, 1.0, proj.n_frames)
+    )
+    frames = api.ImageMorpher(proj.morph, proj.synth).render(
+        api._dev(i0), api._dev(i1), art, ts
+    )
+    np_frames = np.asarray(frames)
+    save_clip(proj.output, np_frames)
+    print(f"wrote {np_frames.shape[0]} frames to {proj.output} in {time.perf_counter()-t0:.2f}s")
+    return 0
+
+
+def _run_project_video(proj: Project, args) -> int:
+    from videomorphing_tpu import api
+
+    clip_a = load_clip(proj.source_a)
+    clip_b = load_clip(proj.source_b)
+    t0 = time.perf_counter()
+    res = api.morph_clips(
+        clip_a, clip_b, proj.points,
+        times=proj.times, mp=proj.morph, sp=proj.synth, vp=proj.video,
+    )
+    save_clip(proj.output, np.asarray(res.frames))
+    print(f"wrote {clip_a.shape[0]} frames to {proj.output} in {time.perf_counter()-t0:.2f}s")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py
+
+    return bench_mod.main([])
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="vmorph", description="TPU-native halfway-domain image/video morphing"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_pair = sub.add_parser("pair", help="morph an image pair")
+    p_pair.add_argument("image_a")
+    p_pair.add_argument("image_b")
+    p_pair.add_argument("--points", default=None, help="JSON file with [[y0,x0],[y1,x1]] pairs")
+    p_pair.add_argument("--frames", type=int, default=16)
+    p_pair.add_argument("--out", default="morph_out")
+    _add_param_overrides(p_pair)
+    p_pair.set_defaults(fn=cmd_pair)
+
+    p_vid = sub.add_parser("video", help="morph a clip pair")
+    p_vid.add_argument("clip_a", help="frame dir / .npz / .vmc / video file")
+    p_vid.add_argument("clip_b")
+    p_vid.add_argument("--points", default=None)
+    p_vid.add_argument("--out", default="morph_out.npz")
+    p_vid.add_argument("--fields", default=None, help="field store .npz for resume/re-render")
+    _add_param_overrides(p_vid)
+    p_vid.set_defaults(fn=cmd_video)
+
+    p_proj = sub.add_parser("project", help="run a project JSON")
+    p_proj.add_argument("project")
+    p_proj.add_argument("--verbose", "-v", action="store_true")
+    p_proj.set_defaults(fn=cmd_project)
+
+    p_bench = sub.add_parser("bench", help="run the benchmark")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""Frozen configuration dataclasses for the morphing pipeline.
+
+The reference keeps the energy weights, pyramid depth and iteration counts in
+its project XML + Qt parameter dialogs (SURVEY.md section 6 "Config / flag
+system"); here they are frozen dataclasses so a config hashes as a jit static
+argument and every run is reproducible.
+
+Defaults follow [TOG14] where the papers pin a value and otherwise use the
+surveyed, tuned values (SURVEY.md section 1.2 marks the exact reference
+constants as unverifiable — the reference mount was empty).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MorphParams:
+    """Parameters of the halfway-domain correspondence optimization.
+
+    Energy (per halfway pixel p, [TOG14] sections 3.1-3.3):
+        E(v) = mean_p[ E_SIM(p) + lambda_tps * E_TPS(p) ]
+               + gamma_ui * mean_p[ w_ui(p) |v(p) - v_ui(p)|^2 ]
+               + beta_tc  * mean_p[ w_tc(p) |v(p) - v_tc(p)|^2 ]   (video)
+    """
+
+    # --- energy weights -------------------------------------------------
+    lambda_tps: float = 0.005     # TPS smoothness weight [TOG14 s3.2]
+    gamma_ui: float = 50.0        # user-point soft-constraint weight [TOG14 s3.3]
+    beta_tc: float = 0.5          # temporal-coherence weight [EGSR14 s4]
+    ui_sigma: float = 4.0         # spatial falloff (px) of a UI point's pull
+
+    # --- SSIM data term [TOG14 s3.1] ------------------------------------
+    ssim_window: int = 5          # Gaussian window diameter (odd)
+    ssim_sigma: float = 1.0       # Gaussian window sigma (px)
+    ssim_c1: float = 1e-4         # (0.01)^2 for images in [0,1]
+    ssim_c2: float = 9e-4         # (0.03)^2
+    ssim_use_luminance: bool = True   # full SSIM vs contrast*structure only
+
+    # --- coarse-to-fine pyramid [TOG14 s4] -------------------------------
+    n_levels: int = 0             # 0 = auto: down to min(H,W) ~ min_level_size
+    min_level_size: int = 32
+    iters_coarse: int = 200       # iterations at the coarsest level
+    iters_fine: int = 50          # iterations at the finest level (geometric in between)
+    tol: float = 1e-7             # early stop: relative energy decrease per iter
+
+    # --- descent / line search (SURVEY.md s1.3) ---------------------------
+    n_colors: int = 2             # checkerboard colors (1 = plain Jacobi)
+    init_step: float = 1.0        # initial trust scale for preconditioned step
+    step_grow: float = 1.25       # step growth after an accepted iteration
+    step_shrink: float = 0.5      # backtracking shrink factor
+    max_backtracks: int = 10
+    armijo_c: float = 1e-4        # sufficient-decrease constant
+    min_step: float = 1e-8
+
+    # --- constraints -----------------------------------------------------
+    fold_margin: float = 0.45     # fraction of neighbor gap an update may cover
+    boundary_lock: bool = True    # edges map to edges [TOG14 s3.4]
+
+    # --- numerics ---------------------------------------------------------
+    dtype: str = "float32"
+    precond_eps: float = 1e-3
+
+    def iters_for_level(self, level: int, n_levels: int) -> int:
+        """Iteration budget per level; geometric from coarse to fine.
+
+        ``level`` counts 0 = finest .. n_levels-1 = coarsest.
+        """
+        if n_levels <= 1:
+            return self.iters_coarse
+        frac = level / (n_levels - 1)          # 1 at coarsest, 0 at finest
+        it = self.iters_fine * (self.iters_coarse / self.iters_fine) ** frac
+        return max(1, int(round(it)))
+
+
+@dataclasses.dataclass(frozen=True)
+class SynthParams:
+    """Parameters of morph synthesis (paths, warps, blending) [TOG14 s5]."""
+
+    # quadratic motion paths [TOG14 s5.1]
+    quadratic_paths: bool = True
+    path_smooth_mu: float = 25.0     # screened-Poisson smoothing of the bulge field
+    max_bulge: float = 32.0          # clamp on |b| in pixels (robustness)
+
+    # backward path inversion (SURVEY.md s1.4 item 2)
+    invert_iters: int = 6            # fixed-point iterations to invert x_t(p)=q
+
+    # blending [TOG14 s5.2]
+    blend_mode: str = "poisson"      # "linear" | "poisson" (gradient-domain)
+    blend_screen_lambda: float = 0.1  # data-term weight of the screened blend
+    extend_levels: int = 0           # 0 = auto pull-push depth
+    occlusion_weighting: bool = True  # video: shift weights off occluded source
+
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoParams:
+    """Parameters of the video pipeline [EGSR14]."""
+
+    # optical flow (pyramid Horn-Schunck; any flow of similar quality
+    # satisfies the contract — SURVEY.md s1.5)
+    flow_alpha: float = 12.0         # smoothness weight (8-bit intensity units)
+    flow_iters: int = 60             # Jacobi iterations per level
+    flow_levels: int = 0             # 0 = auto
+    flow_warps: int = 3              # warping (outer) iterations per level
+    flow_clamp: float = 1.0          # max |du| (px) per warp iteration
+
+    # occlusion detection [EGSR14 s5]
+    occlusion_thresh: float = 1.0    # fwd/bwd inconsistency threshold (px)
+    occlusion_soft: float = 0.5      # softness of the occlusion sigmoid
+
+    # temporal propagation [EGSR14 s4]
+    propagate: bool = True
+    tc_fill_thresh: float = 0.25     # min splat weight to trust a propagated v
+
+    dtype: str = "float32"
+
+
+# Canonical benchmark configurations from BASELINE.json `configs`.
+BENCH_CONFIGS: Tuple[str, ...] = (
+    "pair_256",        # config 1: 256x256 pair, 16 in-betweens
+    "pair_1k",         # config 2: 1024x1024, 5-level pyramid, UI points, Poisson blend
+    "video_480p",      # config 3: 30 frames 480p, temporal propagation
+    "video_1080p",     # config 4: 1080p, quadratic paths, occlusion-aware blend, DP
+    "batch_4k",        # config 5: multi-pair 4K streaming over a v5e-8
+)

@@ -1,0 +1,134 @@
+"""Frame / pair data parallelism over the mesh.
+
+Synthesis is embarrassingly parallel across output times; optimization is
+parallel across PAIRS (frames of one clip are sequential-with-carry, so DP
+batches independent pairs or multiple clips — SURVEY.md section 3,
+"Frame data-parallelism"). Both paths use jit + sharding annotations: XLA
+partitions the vmapped computation, no manual collectives needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from videomorphing_tpu.config import MorphParams, SynthParams
+from videomorphing_tpu.ops.pyramid import auto_n_levels, gaussian_pyramid, pyramid_shapes
+from videomorphing_tpu.solver.constraints import rasterize_point_constraints, scale_points
+from videomorphing_tpu.solver.ctf import resample_field
+from videomorphing_tpu.solver.descent import make_level_solver
+from videomorphing_tpu.solver.energy import make_level_data
+from videomorphing_tpu.ops.pyramid import upsample_field_2x
+from videomorphing_tpu.synth.render import render_frame
+
+
+def _pad_to_multiple(x: jnp.ndarray, m: int, axis: int = 0):
+    n = x.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, mode="edge"), n
+
+
+def render_clip_sharded(
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    v: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    ts: jnp.ndarray,
+    mesh: Mesh,
+    sp: SynthParams = SynthParams(),
+    axis: str = "batch",
+) -> jnp.ndarray:
+    """Render frames at times ``ts`` sharded across mesh devices.
+
+    ``ts`` is padded to a multiple of the axis size; sources/field are
+    replicated (cheap: one pair per clip), frames land sharded and are
+    gathered only by the caller's host transfer (BASELINE.json config 4).
+    """
+    n_dev = mesh.shape[axis]
+    ts_p, n = _pad_to_multiple(ts.astype(v.dtype), n_dev)
+
+    t_shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, repl, t_shard),
+        out_shardings=t_shard,
+    )
+    def run(i0_, i1_, v_, b_, ts_):
+        return jax.vmap(lambda t: render_frame(i0_, i1_, v_, b_, t, sp))(ts_)
+
+    b_arg = b if b is not None else jnp.zeros_like(v)
+    out = run(i0, i1, v, b_arg, ts_p)
+    return out[:n]
+
+
+def optimize_pairs_batched(
+    i0s: jnp.ndarray,
+    i1s: jnp.ndarray,
+    mesh: Mesh,
+    params: MorphParams = MorphParams(),
+    points: Optional[jnp.ndarray] = None,
+    axis: str = "batch",
+) -> jnp.ndarray:
+    """Coarse-to-fine solve for a BATCH of pairs (B, H, W, C), B sharded.
+
+    The per-level solver vmaps cleanly (its while_loop keeps per-sample
+    early-stop via masking); levels stay a Python loop as in the unbatched
+    driver. This is the optimizer half of BASELINE.json config 5.
+    """
+    bsz, h, w = i0s.shape[0], i0s.shape[1], i0s.shape[2]
+    dtype = i0s.dtype
+    n_levels = params.n_levels or auto_n_levels(h, w, params.min_level_size)
+    shapes = pyramid_shapes(h, w, n_levels)
+
+    if points is None:
+        points = jnp.zeros((bsz, 0, 2, 2), dtype)
+
+    shard = NamedSharding(mesh, P(axis))
+
+    # build pyramids batched (vmapped, sharded)
+    pyr0 = [i0s]
+    pyr1 = [i1s]
+    from videomorphing_tpu.ops.pyramid import downsample_2x
+
+    down = jax.jit(jax.vmap(downsample_2x), in_shardings=shard, out_shardings=shard)
+    for _ in range(n_levels - 1):
+        pyr0.append(down(pyr0[-1]))
+        pyr1.append(down(pyr1[-1]))
+
+    v = jnp.zeros((bsz,) + shapes[-1] + (2,), dtype)
+    for level in range(n_levels - 1, -1, -1):
+        lh, lw = shapes[level]
+        n_iters = params.iters_for_level(level, n_levels)
+        solve = make_level_solver(params, n_iters)
+
+        def level_fn(v_, a_, b_, pts_):
+            lpts = scale_points(pts_, (h, w), (lh, lw))
+            ui_w, ui_v = rasterize_point_constraints(lpts, (lh, lw), params.ui_sigma, dtype)
+            data = make_level_data(a_, b_, ui_w, ui_v)
+            v_out, _ = solve(v_, data)
+            return v_out
+
+        batched = jax.jit(
+            jax.vmap(level_fn),
+            in_shardings=(shard, shard, shard, shard),
+            out_shardings=shard,
+        )
+        v = batched(v, pyr0[level], pyr1[level], points)
+        if level > 0:
+            up = jax.jit(
+                jax.vmap(lambda f: upsample_field_2x(f, shapes[level - 1])),
+                in_shardings=shard,
+                out_shardings=shard,
+            )
+            v = up(v)
+    return v

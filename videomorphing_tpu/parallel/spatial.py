@@ -1,0 +1,296 @@
+"""Spatially sharded level solver: one big frame's rows across the mesh.
+
+This is the morphing analogue of context/sequence parallelism (SURVEY.md
+section 6): the halfway field (and all per-pixel maps) are sharded by ROWS
+over a mesh axis, the source images are REPLICATED (a 4K f32 pair is ~200 MB
+— cheap in 16 GB HBM, and it makes the arbitrary warp gather purely local),
+and the only communication is
+
+- ``lax.ppermute`` halo exchange of a few field rows per iteration, and
+- ``lax.psum`` of energy partial sums for the shared line search.
+
+Numerical contract: with zero-filled halos at the true domain edges plus the
+``valid``-mask window sums (ops.ssim), each iteration computes EXACTLY the
+same gradient/energy as the single-device solver — verified to tolerance in
+tests/test_parallel.py on the 8-virtual-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from videomorphing_tpu.config import MorphParams
+from videomorphing_tpu.ops.resample import bilinear_sample_with_grad
+from videomorphing_tpu.ops.ssim import _dssim_grad_impl
+from videomorphing_tpu.ops.windows import gaussian_kernel_1d, separable_filter
+from videomorphing_tpu.parallel.halo import halo_exchange_rows
+from videomorphing_tpu.solver.descent import LevelStats, _tps_grad_unnormalized
+from videomorphing_tpu.solver.energy import LevelData
+
+
+def _masked_tps_maps(v_ext: jnp.ndarray, vld: jnp.ndarray):
+    """Second-difference maps on an extended block, masked so entries match
+    the global definition (zero where the stencil crosses the true domain
+    boundary). ``vld``: (He, 1, 1) row-validity."""
+    vxx = jnp.zeros_like(v_ext)
+    vxx = vxx.at[:, 1:-1].set(v_ext[:, 2:] - 2.0 * v_ext[:, 1:-1] + v_ext[:, :-2])
+    vyy = jnp.zeros_like(v_ext)
+    vyy = vyy.at[1:-1, :].set(v_ext[2:] - 2.0 * v_ext[1:-1] + v_ext[:-2])
+    vxy = jnp.zeros_like(v_ext)
+    vxy = vxy.at[1:-1, 1:-1].set(
+        0.25 * (v_ext[2:, 2:] - v_ext[2:, :-2] - v_ext[:-2, 2:] + v_ext[:-2, :-2])
+    )
+    ok_y = jnp.pad(vld[1:] * vld[:-1], ((1, 0), (0, 0), (0, 0)))  # y-1 and y valid
+    ok_y = ok_y * jnp.pad(vld[1:], ((0, 1), (0, 0), (0, 0)))       # and y+1 valid
+    vyy = vyy * ok_y
+    vxy = vxy * ok_y
+    vxx = vxx * vld
+    return vxx, vxy, vyy
+
+
+def make_spatial_level_solver(
+    p: MorphParams,
+    n_iters: int,
+    mesh: Mesh,
+    axis: str = "y",
+    batch_axis: str | None = None,
+):
+    """Build a row-sharded level solve with the same semantics as
+    ``solver.descent.make_level_solver`` (same config, same math).
+
+    Returns ``solve(v, data) -> (v', LevelStats)`` to be called with ``v``
+    and the per-pixel maps of ``data`` sharded ``P(axis)`` on rows and
+    ``data.i0/i1`` replicated. Global H must divide the axis size.
+
+    With ``batch_axis`` set, all inputs carry a leading batch dimension
+    sharded over that mesh axis (DP x SP over a 2-D mesh: pairs across
+    ``batch_axis``, rows across ``axis`` — the layout of BASELINE.json
+    config 5).
+    """
+    hw_half = p.ssim_window // 2
+    halo = 2 * hw_half + 2  # SSIM transpose-conv reach + TPS stencil reach
+
+    def device_fn(v_blk, i0, i1, ui_w, ui_v, tc_w, tc_v):
+        ax_n = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        bh, w = v_blk.shape[0], v_blk.shape[1]
+        h_glob = bh * ax_n
+        c = i0.shape[-1]
+        npix = h_glob * w
+        dtype = v_blk.dtype
+        he = bh + 2 * halo
+        row0 = idx * bh
+
+        # global-row coordinates and validity of the extended block
+        ys = jax.lax.broadcasted_iota(jnp.int32, (he, w), 0) + (row0 - halo)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (he, w), 1)
+        grid_ext = jnp.stack([ys.astype(dtype), xs.astype(dtype)], axis=-1)
+        vld2d = ((ys >= 0) & (ys < h_glob)).astype(dtype)
+        vld = vld2d[..., None]                      # (He, W, 1)
+        vld_rows = vld[:, :1, :]                    # (He, 1, 1) row validity
+
+        k = gaussian_kernel_1d(p.ssim_window, p.ssim_sigma, dtype=dtype)
+        crop = lambda a: a[halo : halo + bh]
+
+        # checkerboard + boundary masks in GLOBAL coordinates (interior rows)
+        ys_in = crop(ys)
+        xs_in = crop(xs)
+        if p.n_colors == 2:
+            parity = (ys_in + xs_in) % 2
+        elif p.n_colors == 4:
+            parity = (ys_in % 2) * 2 + (xs_in % 2)
+        else:
+            parity = jnp.zeros_like(ys_in)
+        bmask = jnp.ones((bh, w, 2), dtype)
+        bmask = bmask.at[..., 0].set(
+            jnp.where((ys_in == 0) | (ys_in == h_glob - 1), 0.0, 1.0)
+        )
+        bmask = bmask.at[..., 1].set(
+            jnp.where((xs_in == 0) | (xs_in == w - 1), 0.0, 1.0)
+        )
+
+        def exchange(a):
+            return halo_exchange_rows(a, halo, axis)
+
+        def sim_pieces(v_ext):
+            w0, dw0 = bilinear_sample_with_grad(i0, grid_ext - v_ext)
+            w1, dw1 = bilinear_sample_with_grad(i1, grid_ext + v_ext)
+            e_loc, g0, g1, dmap, b2 = _dssim_grad_impl(
+                w0, w1, p.ssim_window, p.ssim_sigma, p.ssim_c1, p.ssim_c2,
+                p.ssim_use_luminance, valid=vld,
+            )
+            return w0, dw0, w1, dw1, g0, g1, dmap, b2
+
+        def masked_energy(v_ext):
+            """Global total energy from an extended block (psum inside)."""
+            _w0, _dw0, _w1, _dw1, _g0, _g1, dmap, _b2 = sim_pieces(v_ext)
+            e_sim = jnp.sum(crop(dmap))
+            vxx, vxy, vyy = _masked_tps_maps(v_ext, vld_rows)
+            tmap = jnp.sum(vxx * vxx + 2.0 * vxy * vxy + vyy * vyy, axis=-1)
+            e_tps = p.lambda_tps * jnp.sum(crop(tmap))
+            v_in = crop(v_ext)
+            d_ui = v_in - ui_v
+            e_ui = p.gamma_ui * jnp.sum(ui_w * jnp.sum(d_ui * d_ui, -1, keepdims=True))
+            d_tc = v_in - tc_v
+            e_tc = p.beta_tc * jnp.sum(tc_w * jnp.sum(d_tc * d_tc, -1, keepdims=True))
+            local = e_sim + e_tps + e_ui + e_tc
+            return jax.lax.psum(local, axis) / npix
+
+        def value_grad_precond(v_ext):
+            w0, dw0, w1, dw1, g0, g1, dmap, b2 = sim_pieces(v_ext)
+            # impl normalizes by the EXTENDED block size; rescale to global
+            rescale = (he * w * c) / (npix * c)
+            g0 = g0 * rescale
+            g1 = g1 * rescale
+            g_sim_ext = (
+                -jnp.einsum("hwc,hwck->hwk", g0, dw0)
+                + jnp.einsum("hwc,hwck->hwk", g1, dw1)
+            )
+            vxx, vxy, vyy = _masked_tps_maps(v_ext, vld_rows)
+            lam_n = p.lambda_tps / npix
+            g_tps_ext = lam_n * (
+                2.0 * _adj_xx(vxx) + 4.0 * _adj_xy(vxy) + 2.0 * _adj_yy(vyy)
+            )
+            grad = crop(g_sim_ext + g_tps_ext)
+            v_in = crop(v_ext)
+            grad = grad + (2.0 * p.gamma_ui / npix) * ui_w * (v_in - ui_v)
+            grad = grad + (2.0 * p.beta_tc / npix) * tc_w * (v_in - tc_v)
+
+            inv_b2 = vld / b2
+            curv_y = jnp.sum((dw0[..., 0] ** 2 + dw1[..., 0] ** 2) * inv_b2, -1)
+            curv_x = jnp.sum((dw0[..., 1] ** 2 + dw1[..., 1] ** 2) * inv_b2, -1)
+            curv = jnp.stack([curv_y, curv_x], -1)
+            curv = crop(separable_filter(curv, k, k, mode="same_zero"))
+            p_sim = (2.0 / (npix * c)) * curv
+            p_quad = (2.0 / npix) * (p.gamma_ui * ui_w + p.beta_tc * tc_w)
+            precond = p_sim + lam_n * 25.0 + p_quad + p.precond_eps / npix
+
+            e_sim = jnp.sum(crop(dmap))
+            tmap = jnp.sum(vxx * vxx + 2.0 * vxy * vxy + vyy * vyy, axis=-1)
+            e_tps = p.lambda_tps * jnp.sum(crop(tmap))
+            d_ui = v_in - ui_v
+            e_ui = p.gamma_ui * jnp.sum(ui_w * jnp.sum(d_ui * d_ui, -1, keepdims=True))
+            d_tc = v_in - tc_v
+            e_tc = p.beta_tc * jnp.sum(tc_w * jnp.sum(d_tc * d_tc, -1, keepdims=True))
+            energy = jax.lax.psum(e_sim + e_tps + e_ui + e_tc, axis) / npix
+            return energy, grad, precond
+
+        def foldover_scale_ext(v_ext, d_blk):
+            # neighbor gaps need one halo row; compute on ext, crop
+            from videomorphing_tpu.solver.descent import _neighbor_gaps
+
+            m_y, m_x = _neighbor_gaps(v_ext)
+            m_y = crop(m_y)
+            m_x = crop(m_x)
+            tiny = jnp.asarray(1e-12, dtype)
+            s_y = jnp.minimum(1.0, p.fold_margin * m_y / (jnp.abs(d_blk[..., 0]) + tiny))
+            s_x = jnp.minimum(1.0, p.fold_margin * m_x / (jnp.abs(d_blk[..., 1]) + tiny))
+            return jnp.stack([d_blk[..., 0] * s_y, d_blk[..., 1] * s_x], -1)
+
+        # ------------- iteration loop (identical schedule to descent) ------
+        e0 = masked_energy(exchange(v_blk))
+        hist0 = jnp.full((n_iters,), jnp.nan, dtype)
+
+        def cond(st):
+            _v, step_, _e, stall_, it_, _h = st
+            return (it_ < n_iters) & (stall_ <= p.n_colors) & (step_ > p.min_step)
+
+        def body(st):
+            v_, step_, e_prev, stall_, it_, hist = st
+            v_ext = exchange(v_)
+            e_cur, grad, precond = value_grad_precond(v_ext)
+
+            cmask = (parity == (it_ % p.n_colors)).astype(dtype)[..., None]
+            d = (-grad / precond) * cmask * bmask
+            d = foldover_scale_ext(v_ext, d)
+            gd = jax.lax.psum(jnp.sum(grad * d), axis)
+
+            d_ext = exchange(d)
+
+            def try_energy(alpha):
+                return masked_energy(v_ext + alpha * d_ext)
+
+            def ls_cond(ls):
+                alpha, e_try, tries = ls
+                bad = e_try > e_cur + p.armijo_c * alpha * gd
+                return bad & (tries < p.max_backtracks) & (alpha > p.min_step)
+
+            def ls_body(ls):
+                alpha, _e, tries = ls
+                alpha = alpha * p.step_shrink
+                return alpha, try_energy(alpha), tries + 1
+
+            alpha, e_try, tries = jax.lax.while_loop(
+                ls_cond, ls_body, (step_, try_energy(step_), jnp.int32(0))
+            )
+            accepted = e_try <= e_cur + p.armijo_c * alpha * gd
+            v_new = jnp.where(accepted, v_ + alpha * d, v_)
+            e_new = jnp.where(accepted, e_try, e_cur)
+            step_new = jnp.where(
+                accepted & (tries == 0),
+                alpha * p.step_grow,
+                jnp.where(accepted, alpha, alpha * p.step_shrink),
+            )
+            rel = (e_cur - e_new) / jnp.maximum(jnp.abs(e_cur), 1e-12)
+            stall_new = jnp.where(rel < p.tol, stall_ + 1, 0)
+            hist = hist.at[it_].set(e_new)
+            return v_new, step_new, e_new, stall_new, it_ + 1, hist
+
+        st0 = (v_blk, jnp.asarray(p.init_step, dtype), e0, jnp.int32(0), jnp.int32(0), hist0)
+        v_f, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(cond, body, st0)
+        stats = LevelStats(e0=e0, e_final=e_f, iters=it_f, step=step_f, energy_history=hist_f)
+        return v_f, stats
+
+    if batch_axis is None:
+        sharded = jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+        )
+    else:
+        b, y = batch_axis, axis
+        sharded = jax.shard_map(
+            jax.vmap(device_fn),
+            mesh=mesh,
+            in_specs=(P(b, y), P(b), P(b), P(b, y), P(b, y), P(b, y), P(b, y)),
+            out_specs=(P(b, y), P(b)),
+            check_vma=False,
+        )
+
+    @jax.jit
+    def solve(v: jnp.ndarray, data: LevelData):
+        return sharded(v, data.i0, data.i1, data.ui_w, data.ui_v, data.tc_w, data.tc_v)
+
+    return solve
+
+
+def _adj_xx(a):
+    out = jnp.zeros_like(a)
+    out = out.at[:, 1:].add(a[:, :-1])
+    out = out.at[:, :].add(-2.0 * a)
+    out = out.at[:, :-1].add(a[:, 1:])
+    return out
+
+
+def _adj_yy(a):
+    out = jnp.zeros_like(a)
+    out = out.at[1:, :].add(a[:-1, :])
+    out = out.at[:, :].add(-2.0 * a)
+    out = out.at[:-1, :].add(a[1:, :])
+    return out
+
+
+def _adj_xy(a):
+    out = jnp.zeros_like(a)
+    out = out.at[1:, 1:].add(0.25 * a[:-1, :-1])
+    out = out.at[1:, :-1].add(-0.25 * a[:-1, 1:])
+    out = out.at[:-1, 1:].add(-0.25 * a[1:, :-1])
+    out = out.at[:-1, :-1].add(0.25 * a[1:, 1:])
+    return out

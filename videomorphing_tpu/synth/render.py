@@ -1,0 +1,121 @@
+"""Frame rendering: invert the motion path, warp both sources, blend.
+
+The reference rasterizes the halfway quad mesh forward at time t (OpenGL/CUDA
+splatting, SURVEY.md section 3 "Renderer / splatter"). Splatting is a
+scatter — hostile on TPU. The rebuild inverts the path per OUTPUT pixel with
+a short fixed-point iteration and then does pure backward bilinear gathers:
+identical output up to sampling, embarrassingly parallel, vmappable over t
+and shardable over frames (SURVEY.md section 1.4 item 2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from videomorphing_tpu.config import SynthParams
+from videomorphing_tpu.ops.resample import (
+    bilinear_sample,
+    grid_coords,
+    inside_mask,
+)
+from videomorphing_tpu.synth.blend import blend_extended
+
+
+def path_displacement(v: jnp.ndarray, b: Optional[jnp.ndarray], t) -> jnp.ndarray:
+    """Displacement field d_t(p) = x_t(p) - p = (2t-1) v + 4t(1-t) b."""
+    d = (2.0 * t - 1.0) * v
+    if b is not None:
+        d = d + (4.0 * t * (1.0 - t)) * b
+    return d
+
+
+def invert_path(
+    v: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    t,
+    n_iters: int = 6,
+) -> jnp.ndarray:
+    """Find halfway coords p(q) with x_t(p) = q for every output pixel q.
+
+    Fixed-point iteration p <- q - d_t(p) (sampling the displacement field at
+    the current estimate). Converges fast because d_t is smooth and the
+    optimizer keeps both warps fold-free; ``n_iters`` is static.
+    Returns (H, W, 2) halfway coordinates.
+    """
+    h, w = v.shape[0], v.shape[1]
+    q = grid_coords(h, w, dtype=v.dtype)
+    disp = path_displacement(v, b, t)
+
+    def body(_, p):
+        return q - bilinear_sample(disp, p)
+
+    return jax.lax.fori_loop(0, n_iters, body, q)
+
+
+class FrameAux(NamedTuple):
+    mask0: jnp.ndarray      # (H, W) validity of the I0 sample
+    mask1: jnp.ndarray      # (H, W)
+    inv_residual: jnp.ndarray  # (H, W) |x_t(p(q)) - q| path-inversion error
+
+
+def render_frame(
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    v: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    t,
+    sp: SynthParams = SynthParams(),
+    conf0: Optional[jnp.ndarray] = None,
+    conf1: Optional[jnp.ndarray] = None,
+    with_aux: bool = False,
+):
+    """Synthesize the morph frame at time ``t`` in [0, 1].
+
+    c_t(q) = (1-t) I0(phi0(p(q))) + t I1(phi1(p(q))) with Poisson-extended,
+    occlusion-aware blending ([TOG14 s5]; conf0/conf1 are per-source
+    visibility maps from ``videomorphing_tpu.video.occlusion``).
+    """
+    h, w = i0.shape[0], i0.shape[1]
+    t = jnp.asarray(t, v.dtype)
+    p = invert_path(v, b, t, sp.invert_iters)
+    v_at_p = bilinear_sample(v, p)
+    phi0 = p - v_at_p
+    phi1 = p + v_at_p
+
+    w0 = bilinear_sample(i0, phi0)
+    w1 = bilinear_sample(i1, phi1)
+    m0 = inside_mask(phi0, h, w)
+    m1 = inside_mask(phi1, h, w)
+
+    c0 = bilinear_sample(conf0, phi0) if conf0 is not None else None
+    c1 = bilinear_sample(conf1, phi1) if conf1 is not None else None
+
+    out = blend_extended(w0, w1, m0, m1, t, sp, c0, c1)
+
+    if with_aux:
+        disp = path_displacement(v, b, t)
+        q = grid_coords(h, w, dtype=v.dtype)
+        res = jnp.linalg.norm(p + bilinear_sample(disp, p) - q, axis=-1)
+        return out, FrameAux(mask0=m0, mask1=m1, inv_residual=res)
+    return out
+
+
+def render_clip(
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    v: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    ts: jnp.ndarray,
+    sp: SynthParams = SynthParams(),
+) -> jnp.ndarray:
+    """Render one frame per time in ``ts`` (K,) -> (K, H, W, C), vmapped.
+
+    For a single image pair this is the "16 in-betweens" path (BASELINE.json
+    config 1). Frame-parallel sharding wraps this in
+    ``videomorphing_tpu.parallel``.
+    """
+    fn = lambda t: render_frame(i0, i1, v, b, t, sp)
+    return jax.vmap(fn)(ts.astype(v.dtype))

@@ -1,0 +1,75 @@
+"""Structured metrics/observability (SURVEY.md section 6).
+
+The reference prints energy per level to the GUI; here every solve emits
+structured per-level records (energy, iterations, wall time) as JSON lines,
+and the CLI computes the BASELINE metrics (frames/sec, iters/sec/Mpixel) so
+every run is a benchmark run.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+from typing import Any, Dict, Optional
+
+logger = logging.getLogger("videomorphing_tpu")
+
+
+def level_record(level: int, shape, stats) -> Dict[str, Any]:
+    """Serialize a LevelStats into a plain-dict record."""
+    return {
+        "level": level,
+        "shape": list(shape),
+        "e0": float(stats.e0),
+        "e_final": float(stats.e_final),
+        "iters": int(stats.iters),
+        "step": float(stats.step),
+    }
+
+
+class MetricsLogger:
+    """JSON-lines metrics sink with wall-clock phase timing.
+
+    >>> m = MetricsLogger(verbose=True)
+    >>> with m.phase("optimize"):
+    ...     ...
+    >>> m.emit("solve_done", levels=records)
+    """
+
+    def __init__(self, stream=None, verbose: bool = False):
+        self.stream = stream if stream is not None else sys.stderr
+        self.verbose = verbose
+        self._t0 = time.perf_counter()
+
+    def emit(self, event: str, **fields: Any) -> None:
+        rec = {"event": event, "t": round(time.perf_counter() - self._t0, 4), **fields}
+        line = json.dumps(rec, default=_to_jsonable)
+        if self.verbose:
+            print(line, file=self.stream, flush=True)
+        logger.info(line)
+
+    def phase(self, name: str):
+        return _Phase(self, name)
+
+
+class _Phase:
+    def __init__(self, m: MetricsLogger, name: str):
+        self.m = m
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.m.emit("phase", name=self.name, seconds=round(time.perf_counter() - self.t0, 4))
+        return False
+
+
+def _to_jsonable(x):
+    try:
+        return float(x)
+    except Exception:
+        return str(x)

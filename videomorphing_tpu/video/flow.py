@@ -1,0 +1,106 @@
+"""Pyramid Horn-Schunck optical flow in pure JAX.
+
+Role in the pipeline ([EGSR14]; SURVEY.md section 1.5): per-clip flow
+t-1 -> t (and its reverse) warm-starts and regularizes the halfway solve,
+tracks UI points to non-keyframes, and drives occlusion detection. The
+reference glues in an external CUDA flow (believed Brox); the contract only
+needs "a flow of similar quality", so the rebuild uses classic coarse-to-fine
+Horn-Schunck with warping — pure jnp stencils + gathers, jit/vmap-friendly,
+reusing the L0 pyramid and warp ops.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videomorphing_tpu.config import VideoParams
+from videomorphing_tpu.ops.pyramid import auto_n_levels, gaussian_pyramid, pyramid_shapes
+from videomorphing_tpu.ops.resample import bilinear_sample, grid_coords
+from videomorphing_tpu.solver.ctf import resample_field
+
+
+def _gray(img: jnp.ndarray) -> jnp.ndarray:
+    """Channel-mean luminance scaled to [0, 255].
+
+    Horn-Schunck's alpha is conventionally quoted against 8-bit intensity
+    units; scaling here keeps ``VideoParams.flow_alpha`` in the familiar
+    range (~5-30) while the pipeline stays in [0, 1] floats.
+    """
+    g = jnp.mean(img, axis=-1) if img.ndim == 3 else img
+    return g * 255.0
+
+
+def _hs_level(a: jnp.ndarray, b: jnp.ndarray, u: jnp.ndarray, vp: VideoParams) -> jnp.ndarray:
+    """Horn-Schunck at one level: ``vp.flow_warps`` outer warps, each with
+    ``vp.flow_iters`` Jacobi sweeps of the Euler-Lagrange system."""
+    h, w = a.shape
+    g = grid_coords(h, w, dtype=a.dtype)
+    alpha2 = vp.flow_alpha * vp.flow_alpha
+
+    # 4-neighbor average (edge-replicated) for the Jacobi update
+    def navg(f):
+        up = jnp.concatenate([f[:1], f[:-1]], 0)
+        dn = jnp.concatenate([f[1:], f[-1:]], 0)
+        lf = jnp.concatenate([f[:, :1], f[:, :-1]], 1)
+        rt = jnp.concatenate([f[:, 1:], f[:, -1:]], 1)
+        return 0.25 * (up + dn + lf + rt)
+
+    for _ in range(vp.flow_warps):
+        u_w = u  # linearization point of this warp
+        bw = bilinear_sample(b, g + u_w)
+        it = bw - a
+        # derivatives of the warped target (standard HS linearization)
+        iy = 0.5 * (jnp.roll(bw, -1, 0) - jnp.roll(bw, 1, 0))
+        ix = 0.5 * (jnp.roll(bw, -1, 1) - jnp.roll(bw, 1, 1))
+        denom = alpha2 + ix * ix + iy * iy
+
+        # Jacobi on the TOTAL flow (so smoothness acts on u, not just the
+        # increment), data term linearized at u_w:
+        #   u <- u_avg - gradI * (It + gradI . (u_avg - u_w)) / (alpha^2+|gradI|^2)
+        def body(_, ut):
+            ua = jnp.stack([navg(ut[..., 0]), navg(ut[..., 1])], -1)
+            diff = ua - u_w
+            resid = (it + ix * diff[..., 1] + iy * diff[..., 0]) / denom
+            return jnp.stack([ua[..., 0] - iy * resid, ua[..., 1] - ix * resid], -1)
+
+        ut = jax.lax.fori_loop(0, vp.flow_iters, body, u_w)
+        # the linearization is only valid for ~pixel-scale increments: clamp
+        # each warp's correction so the outer loop stays contractive
+        u = u_w + jnp.clip(ut - u_w, -vp.flow_clamp, vp.flow_clamp)
+    return u
+
+
+def flow_pair(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams = VideoParams()) -> jnp.ndarray:
+    """Dense flow u with b(p + u(p)) ~ a(p); (H, W, 2) in (dy, dx).
+
+    Coarse-to-fine over a Gaussian pyramid (static level count).
+    """
+    ga, gb = _gray(a), _gray(b)
+    h, w = ga.shape
+    n_levels = vp.flow_levels or auto_n_levels(h, w, 16)
+    shapes = pyramid_shapes(h, w, n_levels)
+    pa = gaussian_pyramid(ga[..., None], n_levels)
+    pb = gaussian_pyramid(gb[..., None], n_levels)
+
+    u = jnp.zeros(shapes[-1] + (2,), ga.dtype)
+    for level in range(n_levels - 1, -1, -1):
+        u = _hs_level(pa[level][..., 0], pb[level][..., 0], u, vp)
+        if level > 0:
+            u = resample_field(u, shapes[level - 1])
+    return u
+
+
+def clip_flows(clip: jnp.ndarray, vp: VideoParams = VideoParams()) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward and backward flows between consecutive frames of (T, H, W, C).
+
+    Returns ``(fwd, bwd)``, each (T-1, H, W, 2): ``fwd[t]`` maps frame t to
+    t+1 (sampled at t), ``bwd[t]`` maps frame t+1 back to t. Computed once up
+    front, vmapped over the T-1 pairs (SURVEY.md section 4 stack C).
+    """
+    a = clip[:-1]
+    b = clip[1:]
+    f = jax.vmap(lambda x, y: flow_pair(x, y, vp))
+    return f(a, b), f(b, a)

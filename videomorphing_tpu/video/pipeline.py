@@ -1,0 +1,177 @@
+"""The video morphing pipeline: flows once, frame 0 cold, then one
+``lax.scan`` over frames carrying the converged field [EGSR14; SURVEY.md
+section 4 stack C].
+
+Frame 0 solves the full coarse-to-fine pyramid. Every later frame is
+warm-started from the temporally advected field and only needs the finest
+levels with few iterations — the source of the reference's big per-frame
+speedup on video, kept here as a STATIC two-level warm solve so the whole
+T-1 frame loop compiles to one device-resident scan (no host round-trips
+between frames, unlike the reference which crosses H<->D once per frame).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videomorphing_tpu.config import MorphParams, SynthParams, VideoParams
+from videomorphing_tpu.ops.pyramid import downsample_2x, pyramid_shapes
+from videomorphing_tpu.solver.constraints import (
+    rasterize_point_constraints,
+    scale_points,
+)
+from videomorphing_tpu.solver.ctf import optimize_pair, resample_field
+from videomorphing_tpu.solver.descent import make_level_solver
+from videomorphing_tpu.solver.energy import make_level_data
+from videomorphing_tpu.synth.paths import bulge_field
+from videomorphing_tpu.synth.render import render_frame
+from videomorphing_tpu.video.flow import clip_flows
+from videomorphing_tpu.video.occlusion import occlusion_confidence
+from videomorphing_tpu.video.temporal import advect_halfway_field, track_points
+
+
+class VideoResult(NamedTuple):
+    fields: jnp.ndarray            # (T, H, W, 2) converged halfway fields
+    bulges: Optional[jnp.ndarray]  # (T, H, W, 2) quadratic-path bulges
+    frames: Optional[jnp.ndarray]  # (T, H, W, C) rendered morph frames
+    tracked_points: Optional[jnp.ndarray]  # (T, N, 2, 2) tracked UI pairs
+
+
+# warm-solve schedule for propagated frames: (level, iters) pairs, finest last
+WARM_ITERS_MID = 30
+WARM_ITERS_FINE = 20
+
+
+def _make_warm_solver(mp: MorphParams, hw: Tuple[int, int]):
+    """Static two-level warm solve used inside the frame scan."""
+    h, w = hw
+    mid_hw = pyramid_shapes(h, w, 2)[1]
+    solve_mid = make_level_solver(mp, WARM_ITERS_MID)
+    solve_fine = make_level_solver(mp, WARM_ITERS_FINE)
+
+    def warm_solve(a, b, points, v_init, tc_v, tc_w):
+        # mid level
+        a_mid = downsample_2x(a)
+        b_mid = downsample_2x(b)
+        pts_mid = scale_points(points, (h, w), mid_hw)
+        ui_w_m, ui_v_m = rasterize_point_constraints(pts_mid, mid_hw, mp.ui_sigma, a.dtype)
+        tc_v_m = resample_field(tc_v, mid_hw)
+        tc_w_m = downsample_2x(tc_w)
+        v = resample_field(v_init, mid_hw)
+        data_m = make_level_data(a_mid, b_mid, ui_w_m, ui_v_m, tc_w_m, tc_v_m)
+        v, st_m = solve_mid(v, data_m)
+
+        # finest level
+        ui_w, ui_v = rasterize_point_constraints(points, (h, w), mp.ui_sigma, a.dtype)
+        v = resample_field(v, (h, w))
+        data_f = make_level_data(a, b, ui_w, ui_v, tc_w, tc_v)
+        v, st_f = solve_fine(v, data_f)
+        return v, (st_m.e_final, st_f.e_final, st_m.iters + st_f.iters)
+
+    return warm_solve
+
+
+def solve_clip_fields(
+    clip_a: jnp.ndarray,
+    clip_b: jnp.ndarray,
+    points: Optional[jnp.ndarray] = None,
+    mp: MorphParams = MorphParams(),
+    vp: VideoParams = VideoParams(),
+):
+    """Solve halfway fields for every frame pair of two clips (T, H, W, C).
+
+    Returns ``(fields (T,H,W,2), tracked (T,N,2,2), flows)`` where flows is
+    the dict of per-clip fwd/bwd flows (reused for occlusion weighting).
+    """
+    t_len, h, w = clip_a.shape[0], clip_a.shape[1], clip_a.shape[2]
+    dtype = clip_a.dtype
+    if points is None:
+        points = jnp.zeros((0, 2, 2), dtype)
+
+    # per-clip flows, once, vmapped over frame pairs [EGSR14]
+    fa_fwd, fa_bwd = clip_flows(clip_a, vp)
+    fb_fwd, fb_bwd = clip_flows(clip_b, vp)
+
+    # frame 0: cold full-pyramid solve
+    res0 = optimize_pair(clip_a[0], clip_b[0], points=points, params=mp)
+    v0 = res0.v
+
+    if t_len == 1:
+        return v0[None], points[None], dict(fa_fwd=fa_fwd, fa_bwd=fa_bwd, fb_fwd=fb_fwd, fb_bwd=fb_bwd)
+
+    warm_solve = _make_warm_solver(mp, (h, w))
+
+    def scan_body(carry, xs):
+        v_prev, pts_prev = carry
+        a_t, b_t, fa_t, fb_t = xs
+        pts_t = track_points(pts_prev, fa_t, fb_t)
+        if vp.propagate:
+            tc_v, tc_w = advect_halfway_field(v_prev, fa_t, fb_t, vp)
+        else:
+            tc_v = jnp.zeros_like(v_prev)
+            tc_w = jnp.zeros((h, w, 1), dtype)
+        v_t, _aux = warm_solve(a_t, b_t, pts_t, tc_v if vp.propagate else jnp.zeros_like(v_prev), tc_v, tc_w)
+        return (v_t, pts_t), (v_t, pts_t)
+
+    xs = (clip_a[1:], clip_b[1:], fa_fwd, fb_fwd)
+    (_vf, _pf), (vs, ptss) = jax.lax.scan(scan_body, (v0, points), xs)
+
+    fields = jnp.concatenate([v0[None], vs], axis=0)
+    tracked = jnp.concatenate([points[None], ptss], axis=0)
+    flows = dict(fa_fwd=fa_fwd, fa_bwd=fa_bwd, fb_fwd=fb_fwd, fb_bwd=fb_bwd)
+    return fields, tracked, flows
+
+
+def _clip_confidences(fwd, bwd, t_len, vp):
+    """Per-frame visibility confidence (T, H, W): frame t vs its neighbor."""
+    conf_mid = jax.vmap(lambda f, b: occlusion_confidence(f, b, vp))(fwd, bwd)
+    # last frame: reuse the final pair's reverse direction
+    conf_last = occlusion_confidence(bwd[-1], fwd[-1], vp)[None]
+    return jnp.concatenate([conf_mid, conf_last], axis=0)
+
+
+def morph_video(
+    clip_a: jnp.ndarray,
+    clip_b: jnp.ndarray,
+    points: Optional[jnp.ndarray] = None,
+    times: Optional[jnp.ndarray] = None,
+    mp: MorphParams = MorphParams(),
+    sp: SynthParams = SynthParams(),
+    vp: VideoParams = VideoParams(),
+    render: bool = True,
+) -> VideoResult:
+    """Full video morph: solve fields, bend paths, render the transition.
+
+    ``times``: per-frame morph time t_k (default: linear 0 -> 1 A-to-B
+    transition across the clip [EGSR14 s5]).
+    """
+    t_len = clip_a.shape[0]
+    fields, tracked, flows = solve_clip_fields(clip_a, clip_b, points, mp, vp)
+
+    bulges = None
+    if sp.quadratic_paths:
+        bulges = jax.vmap(lambda v: bulge_field(v, sp))(fields)
+
+    frames = None
+    if render:
+        if times is None:
+            times = jnp.linspace(0.0, 1.0, t_len, dtype=clip_a.dtype)
+        if sp.occlusion_weighting and t_len > 1:
+            conf_a = _clip_confidences(flows["fa_fwd"], flows["fa_bwd"], t_len, vp)
+            conf_b = _clip_confidences(flows["fb_fwd"], flows["fb_bwd"], t_len, vp)
+        else:
+            conf_a = jnp.ones(clip_a.shape[:3], clip_a.dtype)
+            conf_b = conf_a
+
+        def render_one(a, b, v, bl, t, ca, cb):
+            return render_frame(a, b, v, bl, t, sp, conf0=ca, conf1=cb)
+
+        bl_arg = bulges if bulges is not None else jnp.zeros_like(fields)
+        frames = jax.vmap(render_one)(
+            clip_a, clip_b, fields, bl_arg, times, conf_a, conf_b
+        )
+
+    return VideoResult(fields=fields, bulges=bulges, frames=frames, tracked_points=tracked)

@@ -1,0 +1,115 @@
+"""Temporal propagation of the halfway field [EGSR14 s4].
+
+Given the converged field v_{t-1}, advect its two endpoints by the per-clip
+flows and re-form a predicted field for frame t:
+
+    x0 = p - v,   x1 = p + v
+    x0' = x0 + flowA_{t-1->t}(x0),   x1' = x1 + flowB_{t-1->t}(x1)
+    p'  = (x0' + x1')/2,             v'(p') = (x1' - x0')/2
+
+The prediction lands at scattered positions p' -> bilinear SPLAT back onto
+the grid (scatter-add + normalize; grids are per-frame so XLA's sort-based
+scatter is cheap), holes filled by pull-push. The result both warm-starts
+frame t and anchors its E_TC term — this is why warm frames converge in far
+fewer iterations than frame 0 (SURVEY.md section 1.2 E_TC).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from videomorphing_tpu.config import VideoParams
+from videomorphing_tpu.ops.poisson import pull_push_extend
+from videomorphing_tpu.ops.resample import bilinear_sample, grid_coords
+
+
+def bilinear_splat(
+    values: jnp.ndarray, coords: jnp.ndarray, hw: Tuple[int, int]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter ``values`` (..., C) at float ``coords`` (..., 2) onto (H, W).
+
+    Returns (accumulated (H, W, C), weight (H, W)). Out-of-domain samples are
+    dropped.
+    """
+    h, w = hw
+    c = values.shape[-1]
+    vals = values.reshape(-1, c)
+    co = coords.reshape(-1, 2)
+
+    y = co[:, 0]
+    x = co[:, 1]
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    fy = y - y0
+    fx = x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    acc = jnp.zeros((h * w, c), values.dtype)
+    wacc = jnp.zeros((h * w,), values.dtype)
+
+    for dy, dx, wgt in (
+        (0, 0, (1 - fy) * (1 - fx)),
+        (0, 1, (1 - fy) * fx),
+        (1, 0, fy * (1 - fx)),
+        (1, 1, fy * fx),
+    ):
+        yy = y0i + dy
+        xx = x0i + dx
+        ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        idx = jnp.where(ok, yy * w + xx, 0)
+        wv = jnp.where(ok, wgt, 0.0)
+        acc = acc.at[idx].add(vals * wv[:, None])
+        wacc = wacc.at[idx].add(wv)
+
+    return acc.reshape(h, w, c), wacc.reshape(h, w)
+
+
+def advect_halfway_field(
+    v_prev: jnp.ndarray,
+    flow_a: jnp.ndarray,
+    flow_b: jnp.ndarray,
+    vp: VideoParams = VideoParams(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Predict (tc_v, tc_w) for frame t from frame t-1's converged field.
+
+    ``flow_a``/``flow_b``: (H, W, 2) flows of clip A / clip B from frame t-1
+    to t (sampled on frame t-1's grid). Returns the propagated field
+    (H, W, 2) and a confidence weight map (H, W, 1) — low where the splat
+    left holes (disocclusions), so E_TC backs off exactly where the
+    prediction is untrustworthy.
+    """
+    h, w = v_prev.shape[0], v_prev.shape[1]
+    g = grid_coords(h, w, dtype=v_prev.dtype)
+    x0 = g - v_prev
+    x1 = g + v_prev
+    x0n = x0 + bilinear_sample(flow_a, x0)
+    x1n = x1 + bilinear_sample(flow_b, x1)
+    p_new = 0.5 * (x0n + x1n)
+    v_new = 0.5 * (x1n - x0n)
+
+    acc, wgt = bilinear_splat(v_new, p_new, (h, w))
+    filled = pull_push_extend(
+        acc / jnp.maximum(wgt, 1e-6)[..., None], jnp.clip(wgt, 0.0, 1.0)
+    )
+    conf = jnp.clip(wgt, 0.0, 1.0) * (wgt > vp.tc_fill_thresh)
+    return filled, conf[..., None].astype(v_prev.dtype)
+
+
+def track_points(
+    points: jnp.ndarray, flow_a: jnp.ndarray, flow_b: jnp.ndarray
+) -> jnp.ndarray:
+    """Advance UI point pairs (N, 2, 2) one frame by each clip's flow.
+
+    The reference tracks keyframe UI points to non-keyframes via optical flow
+    ([EGSR14]; SURVEY.md section 1.5); q0 follows clip A, q1 follows clip B.
+    """
+    if points.shape[0] == 0:
+        return points
+    q0 = points[:, 0]
+    q1 = points[:, 1]
+    q0n = q0 + bilinear_sample(flow_a, q0)
+    q1n = q1 + bilinear_sample(flow_b, q1)
+    return jnp.stack([q0n, q1n], axis=1)
