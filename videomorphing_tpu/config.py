@@ -63,6 +63,21 @@ class MorphParams:
     dtype: str = "float32"
     precond_eps: float = 1e-3
 
+    # --- execution backend (SURVEY.md s8 stage 4) -------------------------
+    # "auto": fused Pallas sweep kernels on TPU, plain jnp elsewhere;
+    # "pallas"/"jnp" force one path. Both compute identical math (the jnp
+    # path is the oracle; tests/test_pallas.py checks equivalence).
+    backend: str = "auto"
+    # Re-warp (XLA gather of I0/I1 at p -/+ v) every `relin_every`
+    # iterations; inner iterations use the first-order linearization of the
+    # warp around the last re-warp point (the classic warping-scheme
+    # structure of TV-L1/Horn-Schunck solvers). 1 = re-warp every iteration.
+    # The gather is the single most expensive op on TPU (no texture units),
+    # so this directly scales solver throughput.
+    relin_every: int = 4
+    # Pallas kernels pay off only above this pixel count (per level).
+    pallas_min_pixels: int = 16384
+
     def iters_for_level(self, level: int, n_levels: int) -> int:
         """Iteration budget per level; geometric from coarse to fine.
 

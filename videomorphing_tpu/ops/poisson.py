@@ -1,12 +1,16 @@
-"""Poisson / screened-Poisson solvers (DCT-based) and pull-push extension.
+"""Poisson / screened-Poisson solvers (matmul-DCT) and pull-push extension.
 
 The reference extends warped images past their valid regions with a membrane
 (Laplace) solve and can blend in the gradient domain ([TOG14] section 5.2);
 its solver type is unknown (SURVEY.md section 1.4 item 3). The rebuild uses:
 
 - an exact DCT-II spectral solver for rectangle-domain (screened) Poisson
-  problems with Neumann boundaries — O(HW log HW) on ``jnp.fft``'s TPU path,
-  batched/vmappable over frames; and
+  problems with Neumann boundaries. The DCT is computed as DENSE MATRIX
+  MULTIPLICATION with the orthonormal cosine basis — the TPU-idiomatic
+  choice: XLA:TPU has NO FFT implementation on this target (verified on
+  hardware: ``jnp.fft.*`` -> UNIMPLEMENTED), while the MXU makes an
+  O(N^3) transform of a 1080p frame cost well under a millisecond. Exactly
+  the same transform, batched/vmappable over frames; and
 - multiscale pull-push for irregular-hole membrane extension (holes from
   disocclusion masks are irregular, where a pure spectral solve does not
   apply), optionally polished with a few masked Jacobi sweeps.
@@ -14,25 +18,42 @@ its solver type is unknown (SURVEY.md section 1.4 item 3). The rebuild uses:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.fft as jfft
+import numpy as np
 
 from videomorphing_tpu.ops.pyramid import downsample_2x, upsample_2x
 
 
+@functools.lru_cache(maxsize=64)
+def _dct_mat_np(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis: C[k, m] = s_k sqrt(2/n) cos(pi (m+.5) k / n)."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    m = np.arange(n, dtype=np.float64)[None, :]
+    c = np.cos(np.pi * (m + 0.5) * k / n) * np.sqrt(2.0 / n)
+    c[0] *= np.sqrt(0.5)
+    return c.astype(np.float32)
+
+
+def _dct_apply(x: jnp.ndarray, axis: int, inverse: bool) -> jnp.ndarray:
+    c = jnp.asarray(_dct_mat_np(x.shape[axis])).astype(x.dtype)
+    mat = c.T if inverse else c
+    y = jnp.tensordot(mat, x, axes=([1], [axis]), precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(y, 0, axis)
+
+
 def dct2(x: jnp.ndarray) -> jnp.ndarray:
-    """Orthonormal DCT-II over the first two axes of (H, W, ...)."""
-    x = jfft.dct(x, type=2, norm="ortho", axis=0)
-    return jfft.dct(x, type=2, norm="ortho", axis=1)
+    """Orthonormal DCT-II over the first two axes of (H, W, ...) — two MXU
+    matmuls against the cached cosine basis (see module docstring)."""
+    return _dct_apply(_dct_apply(x, 0, False), 1, False)
 
 
 def idct2(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`dct2`."""
-    x = jfft.idct(x, type=2, norm="ortho", axis=0)
-    return jfft.idct(x, type=2, norm="ortho", axis=1)
+    """Inverse of :func:`dct2` (the basis is orthogonal: inverse = C^T)."""
+    return _dct_apply(_dct_apply(x, 0, True), 1, True)
 
 
 def _neg_laplace_eigs(h: int, w: int, dtype) -> jnp.ndarray:

@@ -115,6 +115,65 @@ def foldover_scale(v: jnp.ndarray, d: jnp.ndarray, margin: float) -> jnp.ndarray
     return jnp.stack([d[..., 0] * s_y, d[..., 1] * s_x], axis=-1)
 
 
+class WarpBundle(NamedTuple):
+    """Warp linearization point: warped images + interpolant derivatives.
+
+    The XLA gather ``I(p -/+ v)`` is the priciest op on TPU (no texture
+    units), so the solver re-warps only every ``MorphParams.relin_every``
+    iterations and runs inner iterations on the first-order expansion
+    ``w0 - dw0 (v - v_lin)`` / ``w1 + dw1 (v - v_lin)`` — the classic
+    warping-scheme structure of TV-L1/Horn-Schunck solvers, applied to the
+    halfway-domain energy (SURVEY.md section 1.3; the reference re-fetches
+    textures every sweep because GPU texture fetches are ~free).
+    """
+
+    v_lin: jnp.ndarray  # (H, W, 2) linearization point
+    w0: jnp.ndarray     # (H, W, C) I0(p - v_lin)
+    dw0: jnp.ndarray    # (H, W, C, 2) exact interpolant derivative
+    w1: jnp.ndarray     # (H, W, C) I1(p + v_lin)
+    dw1: jnp.ndarray    # (H, W, C, 2)
+
+
+def warp_bundle(v: jnp.ndarray, data: LevelData) -> WarpBundle:
+    """Re-warp both images at ``v`` (the expensive XLA gather)."""
+    g = grid_coords(data.i0.shape[0], data.i0.shape[1], dtype=v.dtype)
+    w0, dw0 = bilinear_sample_with_grad(data.i0, g - v)
+    w1, dw1 = bilinear_sample_with_grad(data.i1, g + v)
+    return WarpBundle(v_lin=v, w0=w0, dw0=dw0, w1=w1, dw1=dw1)
+
+
+def linearized_warps(wb: WarpBundle, v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """First-order warped images at ``v`` around ``wb.v_lin`` (exact at v_lin)."""
+    dv = v - wb.v_lin
+    w0 = wb.w0 - jnp.einsum("hwck,hwk->hwc", wb.dw0, dv)
+    w1 = wb.w1 + jnp.einsum("hwck,hwk->hwc", wb.dw1, dv)
+    return w0, w1
+
+
+def total_energy_planes(w0, w1, v, data: LevelData, p: MorphParams) -> jnp.ndarray:
+    """Total energy from precomputed (possibly linearized) warp planes.
+
+    jnp oracle of ``pallas.sweep.fused_total_energy_planes``; equals
+    ``solver.energy.total_energy`` when ``(w0, w1)`` are exact warps at v.
+    """
+    from videomorphing_tpu.ops.ssim import dssim_map
+    from videomorphing_tpu.solver.energy import tps_energy_map
+
+    e_sim = jnp.mean(
+        dssim_map(
+            w0, w1,
+            window=p.ssim_window, sigma=p.ssim_sigma,
+            c1=p.ssim_c1, c2=p.ssim_c2, use_luminance=p.ssim_use_luminance,
+        )
+    )
+    e_tps = p.lambda_tps * jnp.mean(tps_energy_map(v))
+    dv_ui = v - data.ui_v
+    e_ui = p.gamma_ui * jnp.mean(data.ui_w * jnp.sum(dv_ui * dv_ui, -1, keepdims=True))
+    dv_tc = v - data.tc_v
+    e_tc = p.beta_tc * jnp.mean(data.tc_w * jnp.sum(dv_tc * dv_tc, -1, keepdims=True))
+    return e_sim + e_tps + e_ui + e_tc
+
+
 def energy_value_grad_precond(
     v: jnp.ndarray, data: LevelData, p: MorphParams
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -134,12 +193,22 @@ def energy_value_grad_precond(
     the TPS/UI/TC quadratic forms. This is the rebuild of the reference's
     per-pixel step scaling (SURVEY.md section 1.3).
     """
-    h, w, c = data.i0.shape
-    npix = h * w
+    h, w = data.i0.shape[0], data.i0.shape[1]
     g = grid_coords(h, w, dtype=v.dtype)
-
     w0, dw0 = bilinear_sample_with_grad(data.i0, g - v)   # dw0: (H, W, C, 2)
     w1, dw1 = bilinear_sample_with_grad(data.i1, g + v)
+    return value_grad_precond_planes(w0, dw0, w1, dw1, v, data, p)
+
+
+def value_grad_precond_planes(
+    w0, dw0, w1, dw1, v: jnp.ndarray, data: LevelData, p: MorphParams
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(E, dE/dv, precond) from precomputed warp planes.
+
+    jnp oracle of ``pallas.sweep.fused_value_grad_precond_planes``.
+    """
+    h, w, c = data.i0.shape
+    npix = h * w
 
     bundle = dssim_grad_bundle(
         w0, w1,
@@ -219,27 +288,68 @@ def _tps_grad_unnormalized(v: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * adj_xx(vxx) + 4.0 * adj_xy(vxy) + 2.0 * adj_yy(vyy)
 
 
+def _resolve_backend(p: MorphParams, h: int, w: int) -> bool:
+    """True -> fused Pallas kernels; False -> plain jnp (the oracle path)."""
+    if p.backend == "jnp":
+        return False
+    if p.backend == "pallas":
+        return True
+    if p.backend != "auto":
+        raise ValueError(f"unknown backend {p.backend!r}")
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu" and h * w >= p.pallas_min_pixels
+
+
 def make_level_solver(p: MorphParams, n_iters: int):
     """Build the jitted per-level solve: ``(v, data) -> (v', LevelStats)``.
 
     One compilation per level shape; the ``lax.while_loop`` keeps all state
-    (field, step, energy) device-resident for the whole level (SURVEY.md
-    section 4, stack B).
+    (field, warp planes, step, energy) device-resident for the whole level
+    (SURVEY.md section 4, stack B). Structure per iteration:
+
+    1. every ``p.relin_every`` iterations: re-warp I0/I1 at the current v
+       (XLA gather) -> :class:`WarpBundle`;
+    2. evaluate energy/gradient/preconditioner on the (linearized) warp
+       planes — fused Pallas kernel on TPU, jnp twin elsewhere;
+    3. masked preconditioned step (checkerboard color + boundary lock),
+       foldover clamp, Armijo backtracking on the linearized energy.
     """
 
     def solve(v: jnp.ndarray, data: LevelData):
         h, w = v.shape[0], v.shape[1]
+        use_pallas = _resolve_backend(p, h, w)
+        if use_pallas:
+            from videomorphing_tpu.pallas.sweep import (
+                fused_total_energy_planes,
+                fused_value_grad_precond_planes,
+            )
+
+            grad_fn = fused_value_grad_precond_planes
+            energy_fn = fused_total_energy_planes
+        else:
+            grad_fn = value_grad_precond_planes
+            energy_fn = total_energy_planes
+
         bmask = boundary_mask(h, w, v.dtype)
-        e0 = total_energy(v, data, p)
         hist0 = jnp.full((n_iters,), jnp.nan, v.dtype)
+        wb0 = warp_bundle(v, data)
+        e0 = energy_fn(wb0.w0, wb0.w1, v, data, p)
+        relin = max(int(p.relin_every), 1)
 
         def cond(state):
-            v_, step_, e_, stall_, it_, _hist = state
+            v_, _wb, step_, e_, stall_, it_, _hist = state
             return (it_ < n_iters) & (stall_ <= p.n_colors) & (step_ > p.min_step)
 
         def body(state):
-            v_, step_, e_, stall_, it_, hist = state
-            e_cur, grad, precond = energy_value_grad_precond(v_, data, p)
+            v_, wb_, step_, e_, stall_, it_, hist = state
+            wb_ = jax.lax.cond(
+                (it_ % relin == 0) & (it_ > 0),
+                lambda: warp_bundle(v_, data),
+                lambda: wb_,
+            )
+            w0e, w1e = linearized_warps(wb_, v_)
+            e_cur, grad, precond = grad_fn(w0e, wb_.dw0, w1e, wb_.dw1, v_, data, p)
 
             cmask = color_mask(h, w, it_ % p.n_colors, p.n_colors, v_.dtype)
             d = (-grad / precond) * cmask * bmask
@@ -247,7 +357,9 @@ def make_level_solver(p: MorphParams, n_iters: int):
             gd = jnp.sum(grad * d)  # directional derivative (<= 0)
 
             def try_energy(alpha):
-                return total_energy(v_ + alpha * d, data, p)
+                vt = v_ + alpha * d
+                w0t, w1t = linearized_warps(wb_, vt)
+                return energy_fn(w0t, w1t, vt, data, p)
 
             def ls_cond(ls):
                 alpha, e_try, tries = ls
@@ -274,10 +386,13 @@ def make_level_solver(p: MorphParams, n_iters: int):
             rel_dec = (e_cur - e_new) / jnp.maximum(jnp.abs(e_cur), 1e-12)
             stall_new = jnp.where(rel_dec < p.tol, stall_ + 1, 0)
             hist = hist.at[it_].set(e_new)
-            return v_new, step_new, e_new, stall_new, it_ + 1, hist
+            return v_new, wb_, step_new, e_new, stall_new, it_ + 1, hist
 
-        state0 = (v, jnp.asarray(p.init_step, v.dtype), e0, jnp.int32(0), jnp.int32(0), hist0)
-        v_f, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(cond, body, state0)
+        state0 = (
+            v, wb0, jnp.asarray(p.init_step, v.dtype), e0,
+            jnp.int32(0), jnp.int32(0), hist0,
+        )
+        v_f, _wb, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(cond, body, state0)
         return v_f, LevelStats(e0=e0, e_final=e_f, iters=it_f, step=step_f, energy_history=hist_f)
 
     return solve
