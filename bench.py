@@ -83,6 +83,9 @@ def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
 
 
 def main(argv=None) -> int:
+    from videomorphing_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     t_len = int(os.environ.get("BENCH_FRAMES", "6"))
     h = int(os.environ.get("BENCH_H", "1080"))
     w = int(os.environ.get("BENCH_W", "1920"))

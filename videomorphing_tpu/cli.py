@@ -82,8 +82,14 @@ def cmd_pair(args) -> int:
     with m.phase("solve"):
         art = api.solve_pair(i0, i1, points, mp, sp)
         art.v.block_until_ready()
+    from videomorphing_tpu.ops.pyramid import pyramid_shapes
+
+    shapes = pyramid_shapes(i0.shape[0], i0.shape[1], art.result.n_levels)
+    # level_stats run coarse -> fine; stats entry k solved level (n_solved-1-k)
+    n_solved = len(art.result.level_stats)
     for li, st in enumerate(art.result.level_stats):
-        m.emit("level", **level_record(li, art.v.shape, st))
+        lvl = n_solved - 1 - li
+        m.emit("level", **level_record(li, shapes[lvl], st))
     with m.phase("render"):
         import jax.numpy as jnp
 
@@ -202,6 +208,9 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from videomorphing_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="vmorph", description="TPU-native halfway-domain image/video morphing"
     )

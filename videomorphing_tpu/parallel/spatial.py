@@ -117,18 +117,30 @@ def make_spatial_level_solver(
         def exchange(a):
             return halo_exchange_rows(a, halo, axis)
 
-        def sim_pieces(v_ext):
+        def rewarp(v_ext):
+            """Re-warp both images on the extended block (the XLA gather;
+            amortized over ``p.relin_every`` iterations, like descent.py)."""
             w0, dw0 = bilinear_sample_with_grad(i0, grid_ext - v_ext)
             w1, dw1 = bilinear_sample_with_grad(i1, grid_ext + v_ext)
+            return (v_ext, w0, dw0, w1, dw1)
+
+        def lin_warps(wb, v_ext):
+            dv = v_ext - wb[0]
+            w0 = wb[1] - jnp.einsum("hwck,hwk->hwc", wb[2], dv)
+            w1 = wb[3] + jnp.einsum("hwck,hwk->hwc", wb[4], dv)
+            return w0, w1
+
+        def sim_pieces(wb, v_ext):
+            w0, w1 = lin_warps(wb, v_ext)
             e_loc, g0, g1, dmap, b2 = _dssim_grad_impl(
                 w0, w1, p.ssim_window, p.ssim_sigma, p.ssim_c1, p.ssim_c2,
                 p.ssim_use_luminance, valid=vld,
             )
-            return w0, dw0, w1, dw1, g0, g1, dmap, b2
+            return w0, wb[2], w1, wb[4], g0, g1, dmap, b2
 
-        def masked_energy(v_ext):
+        def masked_energy(wb, v_ext):
             """Global total energy from an extended block (psum inside)."""
-            _w0, _dw0, _w1, _dw1, _g0, _g1, dmap, _b2 = sim_pieces(v_ext)
+            _w0, _dw0, _w1, _dw1, _g0, _g1, dmap, _b2 = sim_pieces(wb, v_ext)
             e_sim = jnp.sum(crop(dmap))
             vxx, vxy, vyy = _masked_tps_maps(v_ext, vld_rows)
             tmap = jnp.sum(vxx * vxx + 2.0 * vxy * vxy + vyy * vyy, axis=-1)
@@ -141,8 +153,8 @@ def make_spatial_level_solver(
             local = e_sim + e_tps + e_ui + e_tc
             return jax.lax.psum(local, axis) / npix
 
-        def value_grad_precond(v_ext):
-            w0, dw0, w1, dw1, g0, g1, dmap, b2 = sim_pieces(v_ext)
+        def value_grad_precond(wb, v_ext):
+            w0, dw0, w1, dw1, g0, g1, dmap, b2 = sim_pieces(wb, v_ext)
             # impl normalizes by the EXTENDED block size; rescale to global
             rescale = (he * w * c) / (npix * c)
             g0 = g0 * rescale
@@ -193,17 +205,25 @@ def make_spatial_level_solver(
             return jnp.stack([d_blk[..., 0] * s_y, d_blk[..., 1] * s_x], -1)
 
         # ------------- iteration loop (identical schedule to descent) ------
-        e0 = masked_energy(exchange(v_blk))
+        relin = max(int(p.relin_every), 1)
+        v_ext0 = exchange(v_blk)
+        wb0 = rewarp(v_ext0)
+        e0 = masked_energy(wb0, v_ext0)
         hist0 = jnp.full((n_iters,), jnp.nan, dtype)
 
         def cond(st):
-            _v, step_, _e, stall_, it_, _h = st
+            _v, _wb, step_, _e, stall_, it_, _h = st
             return (it_ < n_iters) & (stall_ <= p.n_colors) & (step_ > p.min_step)
 
         def body(st):
-            v_, step_, e_prev, stall_, it_, hist = st
+            v_, wb_, step_, e_prev, stall_, it_, hist = st
             v_ext = exchange(v_)
-            e_cur, grad, precond = value_grad_precond(v_ext)
+            wb_ = jax.lax.cond(
+                (it_ % relin == 0) & (it_ > 0),
+                lambda: rewarp(v_ext),
+                lambda: wb_,
+            )
+            e_cur, grad, precond = value_grad_precond(wb_, v_ext)
 
             cmask = (parity == (it_ % p.n_colors)).astype(dtype)[..., None]
             d = (-grad / precond) * cmask * bmask
@@ -213,7 +233,7 @@ def make_spatial_level_solver(
             d_ext = exchange(d)
 
             def try_energy(alpha):
-                return masked_energy(v_ext + alpha * d_ext)
+                return masked_energy(wb_, v_ext + alpha * d_ext)
 
             def ls_cond(ls):
                 alpha, e_try, tries = ls
@@ -239,10 +259,13 @@ def make_spatial_level_solver(
             rel = (e_cur - e_new) / jnp.maximum(jnp.abs(e_cur), 1e-12)
             stall_new = jnp.where(rel < p.tol, stall_ + 1, 0)
             hist = hist.at[it_].set(e_new)
-            return v_new, step_new, e_new, stall_new, it_ + 1, hist
+            return v_new, wb_, step_new, e_new, stall_new, it_ + 1, hist
 
-        st0 = (v_blk, jnp.asarray(p.init_step, dtype), e0, jnp.int32(0), jnp.int32(0), hist0)
-        v_f, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(cond, body, st0)
+        st0 = (
+            v_blk, wb0, jnp.asarray(p.init_step, dtype), e0,
+            jnp.int32(0), jnp.int32(0), hist0,
+        )
+        v_f, _wb, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(cond, body, st0)
         stats = LevelStats(e0=e0, e_final=e_f, iters=it_f, step=step_f, energy_history=hist_f)
         return v_f, stats
 
