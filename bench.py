@@ -25,9 +25,9 @@ import time
 import numpy as np
 
 
-def _make_clips(t_len: int, h: int, w: int):
+def _make_clips(t_len: int, h: int, w: int, seed: int = 0):
     """Synthetic but non-trivial content: textured moving blobs + gradient."""
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     tex = rng.random((h, w, 3), dtype=np.float32)
     # smooth the texture a little so the data term has structure
@@ -62,22 +62,24 @@ def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
     sp = SynthParams()
     vp = VideoParams()
 
-    a_np, b_np = _make_clips(t_len, h, w)
-    clip_a = jax.device_put(jnp.asarray(a_np))
-    clip_b = jax.device_put(jnp.asarray(b_np))
-
-    def once():
+    def once(seed):
+        # DISTINCT content per run: the TPU runtime caches (executable,
+        # inputs) pairs, so re-running on identical clips returns cached
+        # results in ~0 time and fakes the benchmark.
+        a_np, b_np = _make_clips(t_len, h, w, seed=seed)
+        clip_a = jax.device_put(jnp.asarray(a_np))
+        clip_b = jax.device_put(jnp.asarray(b_np))
         res = morph_video(clip_a, clip_b, mp=mp, sp=sp, vp=vp, render=True)
         res.frames.block_until_ready()
         return res
 
     # warmup: compiles every shape involved (same shapes as the timed run)
-    once()
+    once(0)
 
     best = float("inf")
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.perf_counter()
-        once()
+        once(r + 1)
         best = min(best, time.perf_counter() - t0)
     return t_len / best, best
 

@@ -13,8 +13,8 @@ import jax.numpy as jnp
 
 from videomorphing_tpu.config import MorphParams, SynthParams
 from videomorphing_tpu.solver.ctf import OptimizeResult, optimize_pair
-from videomorphing_tpu.synth.paths import bulge_field
-from videomorphing_tpu.synth.render import render_clip, render_frame
+from videomorphing_tpu.synth.paths import bulge_field, jitted_bulge_field
+from videomorphing_tpu.synth.render import jitted_render_clip, render_clip, render_frame
 
 
 class MorphArtifacts(NamedTuple):
@@ -47,7 +47,7 @@ class ImageMorpher:
     ) -> MorphArtifacts:
         """Optimize the halfway field and the quadratic-path bulge."""
         res = optimize_pair(i0, i1, points=points, params=self.mp, v0=v0)
-        b = bulge_field(res.v, self.sp) if self.sp.quadratic_paths else None
+        b = jitted_bulge_field(self.sp)(res.v) if self.sp.quadratic_paths else None
         return MorphArtifacts(v=res.v, b=b, result=res)
 
     def render(
@@ -57,7 +57,7 @@ class ImageMorpher:
         art: MorphArtifacts,
         ts: jnp.ndarray,
     ) -> jnp.ndarray:
-        return render_clip(i0, i1, art.v, art.b, ts, self.sp)
+        return jitted_render_clip(self.sp)(i0, i1, art.v, art.b, ts)
 
     def render_one(self, i0, i1, art: MorphArtifacts, t) -> jnp.ndarray:
         return render_frame(i0, i1, art.v, art.b, t, self.sp)

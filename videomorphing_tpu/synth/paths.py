@@ -24,6 +24,9 @@ then passes through the arc midpoint at t = 1/2.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from videomorphing_tpu.config import SynthParams
@@ -92,3 +95,9 @@ def bulge_field(v: jnp.ndarray, sp: SynthParams = SynthParams()) -> jnp.ndarray:
     bstar = bstar * (jnp.minimum(norm, sp.max_bulge) / jnp.maximum(norm, 1e-12))
     b = screened_poisson_dct(bstar, alpha=1.0, mu=sp.path_smooth_mu)
     return b.astype(v.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_bulge_field(sp: SynthParams):
+    """Cached jitted :func:`bulge_field` (keyed by SynthParams)."""
+    return jax.jit(lambda v: bulge_field(v, sp))

@@ -10,6 +10,7 @@ and shardable over frames (SURVEY.md section 1.4 item 2).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -119,3 +120,9 @@ def render_clip(
     """
     fn = lambda t: render_frame(i0, i1, v, b, t, sp)
     return jax.vmap(fn)(ts.astype(v.dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_render_clip(sp: SynthParams):
+    """Cached jitted :func:`render_clip` (one compile per sp x shape set)."""
+    return jax.jit(lambda i0, i1, v, b, ts: render_clip(i0, i1, v, b, ts, sp))

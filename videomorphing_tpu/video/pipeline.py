@@ -12,6 +12,7 @@ between frames, unlike the reference which crosses H<->D once per frame).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -74,6 +75,48 @@ def _make_warm_solver(mp: MorphParams, hw: Tuple[int, int]):
     return warm_solve
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_clip_flows(vp: VideoParams):
+    """One jitted computation for both flow directions of one clip.
+
+    Everything between host calls must live under jit: this TPU is behind a
+    remote tunnel, so each eager op pays a full round trip — the unjitted
+    flow phase was ~100x slower than the same math under one jit.
+    """
+    return jax.jit(lambda clip: clip_flows(clip, vp))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_frame_scan(mp: MorphParams, vp: VideoParams, hw: Tuple[int, int]):
+    """The warm-started per-frame scan as ONE jitted device program."""
+    h, w = hw
+    warm_solve = _make_warm_solver(mp, hw)
+
+    def run(clip_a_rest, clip_b_rest, v0, points, fa_fwd, fb_fwd):
+        dtype = clip_a_rest.dtype
+
+        def scan_body(carry, xs):
+            v_prev, pts_prev = carry
+            a_t, b_t, fa_t, fb_t = xs
+            pts_t = track_points(pts_prev, fa_t, fb_t)
+            if vp.propagate:
+                tc_v, tc_w = advect_halfway_field(v_prev, fa_t, fb_t, vp)
+            else:
+                tc_v = jnp.zeros_like(v_prev)
+                tc_w = jnp.zeros((h, w, 1), dtype)
+            v_t, _aux = warm_solve(
+                a_t, b_t, pts_t,
+                tc_v if vp.propagate else jnp.zeros_like(v_prev), tc_v, tc_w,
+            )
+            return (v_t, pts_t), (v_t, pts_t)
+
+        xs = (clip_a_rest, clip_b_rest, fa_fwd, fb_fwd)
+        (_vf, _pf), (vs, ptss) = jax.lax.scan(scan_body, (v0, points), xs)
+        return vs, ptss
+
+    return jax.jit(run)
+
+
 def solve_clip_fields(
     clip_a: jnp.ndarray,
     clip_b: jnp.ndarray,
@@ -92,8 +135,9 @@ def solve_clip_fields(
         points = jnp.zeros((0, 2, 2), dtype)
 
     # per-clip flows, once, vmapped over frame pairs [EGSR14]
-    fa_fwd, fa_bwd = clip_flows(clip_a, vp)
-    fb_fwd, fb_bwd = clip_flows(clip_b, vp)
+    flows_fn = _jitted_clip_flows(vp)
+    fa_fwd, fa_bwd = flows_fn(clip_a)
+    fb_fwd, fb_bwd = flows_fn(clip_b)
 
     # frame 0: cold full-pyramid solve
     res0 = optimize_pair(clip_a[0], clip_b[0], points=points, params=mp)
@@ -102,22 +146,9 @@ def solve_clip_fields(
     if t_len == 1:
         return v0[None], points[None], dict(fa_fwd=fa_fwd, fa_bwd=fa_bwd, fb_fwd=fb_fwd, fb_bwd=fb_bwd)
 
-    warm_solve = _make_warm_solver(mp, (h, w))
-
-    def scan_body(carry, xs):
-        v_prev, pts_prev = carry
-        a_t, b_t, fa_t, fb_t = xs
-        pts_t = track_points(pts_prev, fa_t, fb_t)
-        if vp.propagate:
-            tc_v, tc_w = advect_halfway_field(v_prev, fa_t, fb_t, vp)
-        else:
-            tc_v = jnp.zeros_like(v_prev)
-            tc_w = jnp.zeros((h, w, 1), dtype)
-        v_t, _aux = warm_solve(a_t, b_t, pts_t, tc_v if vp.propagate else jnp.zeros_like(v_prev), tc_v, tc_w)
-        return (v_t, pts_t), (v_t, pts_t)
-
-    xs = (clip_a[1:], clip_b[1:], fa_fwd, fb_fwd)
-    (_vf, _pf), (vs, ptss) = jax.lax.scan(scan_body, (v0, points), xs)
+    vs, ptss = _jitted_frame_scan(mp, vp, (h, w))(
+        clip_a[1:], clip_b[1:], v0, points, fa_fwd, fb_fwd
+    )
 
     fields = jnp.concatenate([v0[None], vs], axis=0)
     tracked = jnp.concatenate([points[None], ptss], axis=0)
@@ -125,12 +156,44 @@ def solve_clip_fields(
     return fields, tracked, flows
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_confidences(vp: VideoParams):
+    def run(fwd, bwd):
+        conf_mid = jax.vmap(lambda f, b: occlusion_confidence(f, b, vp))(fwd, bwd)
+        # last frame: reuse the final pair's reverse direction
+        conf_last = occlusion_confidence(bwd[-1], fwd[-1], vp)[None]
+        return jnp.concatenate([conf_mid, conf_last], axis=0)
+
+    return jax.jit(run)
+
+
 def _clip_confidences(fwd, bwd, t_len, vp):
     """Per-frame visibility confidence (T, H, W): frame t vs its neighbor."""
-    conf_mid = jax.vmap(lambda f, b: occlusion_confidence(f, b, vp))(fwd, bwd)
-    # last frame: reuse the final pair's reverse direction
-    conf_last = occlusion_confidence(bwd[-1], fwd[-1], vp)[None]
-    return jnp.concatenate([conf_mid, conf_last], axis=0)
+    return _jitted_confidences(vp)(fwd, bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_bulges(sp: SynthParams):
+    # lax.map (sequential scan), NOT vmap: vmapping the DCT solves over a
+    # whole 1080p clip materializes every frame's spectral intermediates at
+    # once and OOMs 16 GB HBM; per-frame synthesis is milliseconds, so a
+    # scan is just as fast and peak memory stays single-frame.
+    return jax.jit(lambda fields: jax.lax.map(lambda v: bulge_field(v, sp), fields))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_video_render(sp: SynthParams):
+    def run(clip_a, clip_b, fields, bulges, times, conf_a, conf_b):
+        def render_one(args):
+            a, b, v, bl, t, ca, cb = args
+            return render_frame(a, b, v, bl, t, sp, conf0=ca, conf1=cb)
+
+        # sequential over frames for the same memory reason as _jitted_bulges
+        return jax.lax.map(
+            render_one, (clip_a, clip_b, fields, bulges, times, conf_a, conf_b)
+        )
+
+    return jax.jit(run)
 
 
 def morph_video(
@@ -153,7 +216,7 @@ def morph_video(
 
     bulges = None
     if sp.quadratic_paths:
-        bulges = jax.vmap(lambda v: bulge_field(v, sp))(fields)
+        bulges = _jitted_bulges(sp)(fields)
 
     frames = None
     if render:
@@ -166,11 +229,8 @@ def morph_video(
             conf_a = jnp.ones(clip_a.shape[:3], clip_a.dtype)
             conf_b = conf_a
 
-        def render_one(a, b, v, bl, t, ca, cb):
-            return render_frame(a, b, v, bl, t, sp, conf0=ca, conf1=cb)
-
         bl_arg = bulges if bulges is not None else jnp.zeros_like(fields)
-        frames = jax.vmap(render_one)(
+        frames = _jitted_video_render(sp)(
             clip_a, clip_b, fields, bl_arg, times, conf_a, conf_b
         )
 
