@@ -163,3 +163,52 @@ def test_warping_scheme_converges_on_translation():
         assert float(np.median(np.asarray(v_f)[8:-8, 8:-8, 1])) > 0.1
     # the lazy-rewarp scheme must not cost solution quality
     assert results[4][2] < 1.1 * results[1][2]
+
+
+# ---------------------------------------------------------------------------
+# fused warp kernel (pallas.warp)
+# ---------------------------------------------------------------------------
+
+from videomorphing_tpu.ops.resample import bilinear_sample_with_grad, grid_coords
+from videomorphing_tpu.pallas.warp import fused_warp_pair, make_warp_source
+
+
+def _warp_case(h, w, kind, seed=0):
+    rng = np.random.default_rng(seed)
+    i0 = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    i1 = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    if kind == "zero":
+        v = np.zeros((h, w, 2), np.float32)
+    elif kind == "const":
+        v = np.full((h, w, 2), 7.3, np.float32)
+    elif kind == "smooth":
+        v = np.stack([1.5 * np.sin(yy / 40), 2 * np.cos(xx / 50)], -1).astype(np.float32)
+    else:  # wild: exceeds the kernel budget -> exercises the XLA fallback
+        v = 30 * rng.standard_normal((h, w, 2)).astype(np.float32)
+    return i0, i1, jnp.asarray(v)
+
+
+@pytest.mark.parametrize("kind", ["zero", "const", "smooth", "wild"])
+@pytest.mark.parametrize("hw", [(48, 64), (70, 300)])
+def test_fused_warp_matches_gather(hw, kind):
+    h, w = hw
+    i0, i1, v = _warp_case(h, w, kind)
+    g = grid_coords(h, w, jnp.float32)
+    w0r, dw0r = bilinear_sample_with_grad(i0, g - v)
+    w1r, dw1r = bilinear_sample_with_grad(i1, g + v)
+    w0, dw0, w1, dw1 = fused_warp_pair(i0, i1, v, interpret=True)
+    assert _rel(w0r, w0) < 1e-5
+    assert _rel(dw0r, dw0) < 1e-5
+    assert _rel(w1r, w1) < 1e-5
+    assert _rel(dw1r, dw1) < 1e-5
+
+
+def test_fused_warp_source_reuse():
+    """Prebuilt WarpSource gives identical results to on-the-fly arrays."""
+    i0, i1, v = _warp_case(40, 80, "smooth", seed=3)
+    s0, s1 = make_warp_source(i0), make_warp_source(i1)
+    a = fused_warp_pair(s0, s1, v, interpret=True)
+    b = fused_warp_pair(i0, i1, v, interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0, rtol=0)

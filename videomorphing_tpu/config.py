@@ -77,6 +77,10 @@ class MorphParams:
     relin_every: int = 4
     # Pallas kernels pay off only above this pixel count (per level).
     pallas_min_pixels: int = 16384
+    # Use the fused Pallas warp kernel (pallas.warp) for re-warps on the
+    # pallas backend; it falls back to the XLA gather per call when the
+    # field's within-tile variation exceeds the kernel budget.
+    fused_warp: bool = True
 
     def iters_for_level(self, level: int, n_levels: int) -> int:
         """Iteration budget per level; geometric from coarse to fine.

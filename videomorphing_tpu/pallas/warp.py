@@ -1,0 +1,292 @@
+"""Fused bilinear warp kernel: both halfway warps + interpolant derivatives.
+
+The reference fetches ``I(p -/+ v)`` through CUDA texture units for free;
+TPUs have none, and XLA lowers the per-pixel gather to ~38 ms per 1080p
+image regardless of field smoothness (measured; index-count bound, not
+bandwidth). This kernel is the TPU-native replacement for the solver's
+re-warp step.
+
+Strategy — exploit that the halfway field varies slowly within a tile:
+
+1. XLA precomputes, per image, integer tap rows/cols and fractional weights,
+   then per (64, 256) output tile the minimum of ``iy - row_in_tile``
+   (resp. ``ix - col_in_tile``). Each tile's source pixels then live in a
+   fixed (72, 512) window, and the REMAINING per-pixel displacement
+   ``dev = iy - base - row_in_tile`` is a small non-negative integer
+   (< 6 for any smooth field).
+2. Mosaic requires 8/128-aligned HBM slice offsets and miscompiles dynamic
+   sublane rolls, so the row alignment fraction is removed by DMA-ing from
+   one of EIGHT row-phase-shifted padded copies of the image (built once
+   per level solve — ``make_warp_source``; the phase index is a dynamic
+   leading-dim index, which has no tiling constraint). The column fraction
+   is removed with one dynamic lane ``pltpu.roll`` (which compiles fine).
+3. The warp then resolves by enumerating the (D=6) x (DX=6) residual
+   integer offsets: each combination is a STATIC 2-D shifted slice of the
+   window, selected per pixel by an equality mask, accumulated in vector
+   registers (no control flow — predication makes branches pointless), and
+   combined with the bilinear weights once at the end.
+4. If any tile's variation exceeds the budget, a global flag routes the
+   whole call to the exact XLA gather path — the kernel is a fast path,
+   never an approximation. Outputs are bit-equivalent to
+   ``ops.resample.bilinear_sample_with_grad`` (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videomorphing_tpu.ops.resample import bilinear_sample_with_grad, grid_coords
+
+TH, TW = 64, 256         # output tile
+D, DX = 6, 6             # enumerated residual row/col offsets
+RW, WC = 72, 512         # source window (rows: TH + D + pad; cols: TW + 128 frac + pad)
+OFFY, OFFX = 64, 256     # top/left zero padding of the source images
+N_PHASE = 8
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class WarpSource(NamedTuple):
+    """An image prepared for :func:`fused_warp_pair`.
+
+    ``phases[k]`` is the zero-padded (C, Hp, Wp) image shifted DOWN by k
+    rows, so a window whose true start row is ``8m + k`` can be DMA'd from
+    ``phases[k]`` at the 8-aligned offset ``8m`` (Mosaic constraint). Built
+    once per image per level (``make_warp_source``), reused across all
+    solver iterations and line-search warps of that level.
+    """
+
+    img: jnp.ndarray      # (H, W, C) original, for the XLA fallback path
+    phases: jnp.ndarray   # (8, C, Hp, Wp)
+
+
+def make_warp_source(img: jnp.ndarray) -> WarpSource:
+    h, w, c = img.shape
+    chw = jnp.moveaxis(img, -1, 0).astype(jnp.float32)
+    hp = _cdiv(OFFY + h + RW + N_PHASE, 8) * 8
+    wp = _cdiv(OFFX + w + WC, 128) * 128
+    phases = jnp.stack(
+        [
+            jnp.pad(chw, ((0, 0), (OFFY - k, hp - h - OFFY + k), (OFFX, wp - w - OFFX)))
+            for k in range(N_PHASE)
+        ],
+        axis=0,
+    )
+    return WarpSource(img=img, phases=phases)
+
+
+def _prep_image(coords_y, coords_x, h, w, gy, gx):
+    """Per-image tap indices, weights, per-tile bases and the budget check.
+
+    Returns (dev, devx, fy, fx, oky, okx, row_start, phase, col_start,
+    bx_frac, fits): dev/devx are the per-pixel residual offsets relative to
+    each tile's base; planes are (gy*TH, gx*TW); bases are (gy, gx).
+    """
+    y = jnp.clip(coords_y, 0.0, h - 1.0)
+    x = jnp.clip(coords_x, 0.0, w - 1.0)
+    iy = jnp.clip(jnp.floor(y), 0.0, h - 2.0)
+    ix = jnp.clip(jnp.floor(x), 0.0, w - 2.0)
+    fy = y - iy
+    fx = x - ix
+    oky = ((coords_y > 0.0) & (coords_y < h - 1.0)).astype(y.dtype)
+    okx = ((coords_x > 0.0) & (coords_x < w - 1.0)).astype(y.dtype)
+    iy = iy.astype(jnp.int32)
+    ix = ix.astype(jnp.int32)
+
+    hp, wp = gy * TH, gx * TW
+    row_in = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) % TH
+    col_in = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) % TW
+
+    def pad_to(a, fill):
+        return jnp.pad(a, ((0, hp - h), (0, wp - w)), constant_values=fill)
+
+    big = jnp.int32(1 << 28)
+    rel_y = pad_to(iy, big) - row_in
+    rel_x = pad_to(ix, big) - col_in
+
+    by_raw = jnp.min(rel_y.reshape(gy, TH, gx, TW), axis=(1, 3))   # (gy, gx)
+    bx_raw = jnp.min(rel_x.reshape(gy, TH, gx, TW), axis=(1, 3))
+    phase = by_raw % 8                  # row fraction -> phase-copy index
+    by_al = by_raw - phase
+    bx_al = (bx_raw // 128) * 128
+    bx_frac = bx_raw - bx_al
+
+    rep_y = jnp.repeat(jnp.repeat(by_raw, TH, 0), TW, 1)
+    rep_x = jnp.repeat(jnp.repeat(bx_raw, TH, 0), TW, 1)
+    dev = jnp.where(rel_y >= big // 2, 0, rel_y - rep_y)
+    devx = jnp.where(rel_x >= big // 2, 0, rel_x - rep_x)
+
+    inside = pad_to(jnp.ones((h, w), jnp.int32), 0)
+    fits = (
+        jnp.max(jnp.where(inside > 0, dev, 0)) <= D - 1
+    ) & (jnp.max(jnp.where(inside > 0, devx, 0)) <= DX - 1)
+
+    # window origin in the padded phase copy: phases[k][r] = img[r - OFFY + k]
+    # and the true start is by_al + k, so the aligned DMA offset is
+    row_start = by_al + OFFY
+    col_start = bx_al + OFFX
+    return (
+        dev, devx, pad_to(fy, 0.0), pad_to(fx, 0.0),
+        pad_to(oky, 0.0), pad_to(okx, 0.0),
+        row_start, phase, col_start, bx_frac, fits,
+    )
+
+
+def _build_warp_call(C: int, gy: int, gx: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_out = 6 * C  # w0(C), w1(C), dw0(2C), dw1(2C)
+    i_w0, i_w1, i_dw0, i_dw1 = 0, C, 2 * C, 4 * C
+
+    def roll_lanes(a, sx):
+        # logical col q maps to source col q + sx (jnp.roll with -sx). Only
+        # the LANE axis rolls dynamically: Mosaic's dynamic_rotate
+        # miscompiles sublane rolls of multi-vreg windows on this target.
+        if interpret:
+            return jnp.roll(a, -sx, axis=2)
+        return pltpu.roll(a, -sx, axis=2)
+
+    def kernel(bases, ph0_hbm, ph1_hbm, idxi, idxf, out, win, sem):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+
+        for im, src in ((0, ph0_hbm), (1, ph1_hbm)):
+            rs = pl.multiple_of(bases[ti, tj, 4 * im + 0], 8)
+            ph = bases[ti, tj, 4 * im + 1]
+            cs = pl.multiple_of(bases[ti, tj, 4 * im + 2], 128)
+            cp = pltpu.make_async_copy(
+                src.at[ph, :, pl.ds(rs, RW), pl.ds(cs, WC)],
+                win.at[pl.ds(C * im, C)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+        for im in range(2):
+            xf = bases[ti, tj, 4 * im + 3]
+            dev = idxi[2 * im]                       # (TH, TW) int32
+            devx = idxi[2 * im + 1]
+            fy = idxf[4 * im]
+            fx = idxf[4 * im + 1]
+            oky = idxf[4 * im + 2]
+            okx = idxf[4 * im + 3]
+            w_win = roll_lanes(win[C * im : C * im + C], xf)  # (C, RW, WC)
+
+            # residual-offset enumeration, fully unrolled on vector values:
+            # accumulate the four bilinear taps, combine once at the end
+            z = jnp.zeros((C, TH, TW), jnp.float32)
+            t00 = t01 = t10 = t11 = z
+            for d in range(D):
+                rows0 = w_win[:, d : d + TH]
+                rows1 = w_win[:, d + 1 : d + 1 + TH]
+                my = dev == d
+                for dx in range(DX):
+                    m = (my & (devx == dx)).astype(jnp.float32)
+                    t00 += m * rows0[:, :, dx : dx + TW]
+                    t01 += m * rows0[:, :, dx + 1 : dx + 1 + TW]
+                    t10 += m * rows1[:, :, dx : dx + TW]
+                    t11 += m * rows1[:, :, dx + 1 : dx + 1 + TW]
+
+            top = t00 + (t01 - t00) * fx
+            bot = t10 + (t11 - t10) * fx
+            base_w = i_w0 if im == 0 else i_w1
+            base_d = i_dw0 if im == 0 else i_dw1
+            out[base_w : base_w + C] = top + (bot - top) * fy
+            dys = (bot - top) * oky
+            dxs = ((t01 - t00) * (1.0 - fy) + (t11 - t10) * fy) * okx
+            for c in range(C):
+                out[base_d + 2 * c] = dys[c]
+                out[base_d + 2 * c + 1] = dxs[c]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((4, TH, TW), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TH, TW), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((6 * C, TH, TW), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * C, RW, WC), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_out, gy * TH, gx * TW), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+_warp_call_cached = functools.lru_cache(maxsize=None)(_build_warp_call)
+
+
+def _auto_interpret(interpret):
+    if interpret is not None:
+        return bool(interpret)
+    return jax.default_backend() != "tpu"
+
+
+def fused_warp_pair(src0, src1, v, *, interpret=None):
+    """Both halfway warps with derivatives: Pallas-fast when the field is
+    tame, exact-XLA otherwise.
+
+    ``src0/src1``: :class:`WarpSource` (preferred — build once per level) or
+    raw (H, W, C) images. Twin of ``(bilinear_sample_with_grad(i0, g - v),
+    bilinear_sample_with_grad(i1, g + v))``; returns (w0, dw0, w1, dw1).
+    """
+    if not isinstance(src0, WarpSource):
+        src0 = make_warp_source(src0)
+    if not isinstance(src1, WarpSource):
+        src1 = make_warp_source(src1)
+    i0, i1 = src0.img, src1.img
+    h, w, C = i0.shape
+    interpret = _auto_interpret(interpret)
+    gy, gx = _cdiv(h, TH), _cdiv(w, TW)
+    g = grid_coords(h, w, v.dtype)
+
+    c0 = g - v
+    c1 = g + v
+    p0 = _prep_image(c0[..., 0], c0[..., 1], h, w, gy, gx)
+    p1 = _prep_image(c1[..., 0], c1[..., 1], h, w, gy, gx)
+    fits = p0[-1] & p1[-1]
+
+    def pallas_path(_):
+        call = _warp_call_cached(C, gy, gx, interpret)
+        bases = jnp.stack(
+            [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
+        ).astype(jnp.int32)
+        idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
+        idxf = jnp.stack(
+            [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
+        ).astype(jnp.float32)
+        (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
+        out = out[:, :h, :w]
+        w0 = jnp.moveaxis(out[0:C], 0, -1).astype(v.dtype)
+        w1 = jnp.moveaxis(out[C : 2 * C], 0, -1).astype(v.dtype)
+        dw0 = jnp.moveaxis(
+            out[2 * C : 4 * C].reshape(C, 2, h, w), (0, 1), (2, 3)
+        ).astype(v.dtype)
+        dw1 = jnp.moveaxis(
+            out[4 * C : 6 * C].reshape(C, 2, h, w), (0, 1), (2, 3)
+        ).astype(v.dtype)
+        return w0, dw0, w1, dw1
+
+    def xla_path(_):
+        w0, dw0 = bilinear_sample_with_grad(i0, c0)
+        w1, dw1 = bilinear_sample_with_grad(i1, c1)
+        return w0, dw0, w1, dw1
+
+    return jax.lax.cond(fits, pallas_path, xla_path, None)

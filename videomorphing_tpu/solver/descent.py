@@ -142,6 +142,15 @@ def warp_bundle(v: jnp.ndarray, data: LevelData) -> WarpBundle:
     return WarpBundle(v_lin=v, w0=w0, dw0=dw0, w1=w1, dw1=dw1)
 
 
+def warp_bundle_fused(v: jnp.ndarray, src0, src1) -> WarpBundle:
+    """Re-warp via the fused Pallas warp kernel (pallas.warp), with the
+    exact XLA gather as automatic fallback for wild fields."""
+    from videomorphing_tpu.pallas.warp import fused_warp_pair
+
+    w0, dw0, w1, dw1 = fused_warp_pair(src0, src1, v)
+    return WarpBundle(v_lin=v, w0=w0, dw0=dw0, w1=w1, dw1=dw1)
+
+
 def linearized_warps(wb: WarpBundle, v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """First-order warped images at ``v`` around ``wb.v_lin`` (exact at v_lin)."""
     dv = v - wb.v_lin
@@ -333,7 +342,15 @@ def make_level_solver(p: MorphParams, n_iters: int):
 
         bmask = boundary_mask(h, w, v.dtype)
         hist0 = jnp.full((n_iters,), jnp.nan, v.dtype)
-        wb0 = warp_bundle(v, data)
+        if use_pallas and p.fused_warp:
+            from videomorphing_tpu.pallas.warp import make_warp_source
+
+            src0 = make_warp_source(data.i0)
+            src1 = make_warp_source(data.i1)
+            rewarp = lambda v_: warp_bundle_fused(v_, src0, src1)
+        else:
+            rewarp = lambda v_: warp_bundle(v_, data)
+        wb0 = rewarp(v)
         e0 = energy_fn(wb0.w0, wb0.w1, v, data, p)
         relin = max(int(p.relin_every), 1)
 
@@ -345,7 +362,7 @@ def make_level_solver(p: MorphParams, n_iters: int):
             v_, wb_, step_, e_, stall_, it_, hist = state
             wb_ = jax.lax.cond(
                 (it_ % relin == 0) & (it_ > 0),
-                lambda: warp_bundle(v_, data),
+                lambda: rewarp(v_),
                 lambda: wb_,
             )
             w0e, w1e = linearized_warps(wb_, v_)
