@@ -126,6 +126,11 @@ class VideoParams:
     flow_levels: int = 0             # 0 = auto
     flow_warps: int = 3              # warping (outer) iterations per level
     flow_clamp: float = 1.0          # max |du| (px) per warp iteration
+    # Flow is only used to warm-start/regularize the halfway solve and for
+    # occlusion masks (SURVEY.md s1.5: "any flow of similar quality
+    # satisfies the contract"), so it runs at a reduced resolution and is
+    # upsampled; 1.0 = full resolution.
+    flow_scale: float = 0.5
 
     # occlusion detection [EGSR14 s5]
     occlusion_thresh: float = 1.0    # fwd/bwd inconsistency threshold (px)

@@ -76,8 +76,24 @@ def _hs_level(a: jnp.ndarray, b: jnp.ndarray, u: jnp.ndarray, vp: VideoParams) -
 def flow_pair(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams = VideoParams()) -> jnp.ndarray:
     """Dense flow u with b(p + u(p)) ~ a(p); (H, W, 2) in (dy, dx).
 
-    Coarse-to-fine over a Gaussian pyramid (static level count).
+    Coarse-to-fine over a Gaussian pyramid (static level count). With
+    ``vp.flow_scale < 1`` the solve runs at reduced resolution and the
+    result is upsampled (with vectors rescaled) — the flow only warm-starts
+    and regularizes the halfway solve, so full-resolution accuracy buys
+    nothing (SURVEY.md s1.5).
     """
+    h0, w0 = a.shape[0], a.shape[1]
+    if vp.flow_scale < 1.0:
+        hs = max(int(round(h0 * vp.flow_scale)), 16)
+        ws = max(int(round(w0 * vp.flow_scale)), 16)
+        a = jax.image.resize(a, (hs, ws) + a.shape[2:], method="linear")
+        b = jax.image.resize(b, (hs, ws) + b.shape[2:], method="linear")
+        u = _flow_pair_full(a, b, vp)
+        return resample_field(u, (h0, w0))
+    return _flow_pair_full(a, b, vp)
+
+
+def _flow_pair_full(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams) -> jnp.ndarray:
     ga, gb = _gray(a), _gray(b)
     h, w = ga.shape
     n_levels = vp.flow_levels or auto_n_levels(h, w, 16)
