@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 from typing import Optional
@@ -201,6 +202,92 @@ def _run_project_video(proj: Project, args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Config-5 batch pipeline (BASELINE.json config 5).
+
+    Two modes:
+    - ``--manifest jobs.json``: many independent image-pair jobs, solved in
+      mesh-sized blocks sharded across all devices.
+    - ``--clip-a A --clip-b B --out out.vmc``: stream two clips through the
+      pair-parallel pipeline (decode -> H2D -> solve/render -> D2H encode,
+      overlapped); every frame pair solves independently across cores.
+    """
+    from videomorphing_tpu.io.clips import (
+        VmcWriter,
+        open_clip_reader,
+        read_vmc_header,
+    )
+    from videomorphing_tpu.parallel import batch as pbatch
+    from videomorphing_tpu.parallel.mesh import make_mesh
+
+    m = MetricsLogger(verbose=args.verbose)
+    mp, sp, _ = _params_from_args(args)
+    mesh = make_mesh()
+    bsz = int(mesh.shape["batch"])
+
+    if args.manifest:
+        with open(args.manifest) as f:
+            spec = json.load(f)
+        job_specs = spec["jobs"] if isinstance(spec, dict) else spec
+        jobs = []
+        for j in job_specs:
+            pts = j.get("points")
+            if isinstance(pts, str):
+                pts = _load_points(pts)
+            elif pts is not None:
+                pts = np.asarray(pts, np.float32)
+            jobs.append(
+                dict(
+                    i0=load_image(j["a"]),
+                    i1=load_image(j["b"]),
+                    points=pts,
+                    n_frames=int(j.get("n_frames", args.frames)),
+                )
+            )
+        t0 = time.perf_counter()
+        results = pbatch.run_manifest(jobs, mesh, mp, sp, verbose=args.verbose)
+        dt = time.perf_counter() - t0
+        n_frames_total = 0
+        for j, frames in zip(job_specs, results):
+            out = j.get("out") or f"{os.path.splitext(j['a'])[0]}_morph"
+            save_clip(out, frames)
+            n_frames_total += frames.shape[0]
+        m.emit(
+            "metrics", jobs=len(jobs), frames_per_sec=n_frames_total / dt,
+            wall_seconds=dt,
+        )
+        print(f"ran {len(jobs)} jobs ({n_frames_total} frames) in {dt:.2f}s")
+        return 0
+
+    if not (args.clip_a and args.clip_b):
+        print("batch: need --manifest or --clip-a/--clip-b", file=sys.stderr)
+        return 2
+    if args.clip_a.endswith(".vmc"):
+        t_len, h, w, _c = read_vmc_header(args.clip_a)
+    else:
+        shape = load_clip(args.clip_a).shape
+        t_len, h, w = shape[0], shape[1], shape[2]
+    points = _load_points(args.points)
+    runner = pbatch.StreamingBatchRunner(mesh, mp, sp)
+    t0 = time.perf_counter()
+    n_done = 0
+    with VmcWriter(args.out) as wr:
+        for _s, frames in runner.run_clip_pair(
+            open_clip_reader(args.clip_a, block=bsz),
+            open_clip_reader(args.clip_b, block=bsz),
+            t_len, (h, w), points=points,
+        ):
+            wr.append(frames)
+            n_done += frames.shape[0]
+    dt = time.perf_counter() - t0
+    m.emit(
+        "metrics", frames_per_sec=n_done / dt, wall_seconds=dt,
+        resolution=f"{h}x{w}",
+    )
+    print(f"wrote {n_done} morph frames ({h}x{w}) to {args.out} in {dt:.2f}s")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
@@ -238,6 +325,18 @@ def main(argv=None) -> int:
     p_proj.add_argument("project")
     p_proj.add_argument("--verbose", "-v", action="store_true")
     p_proj.set_defaults(fn=cmd_project)
+
+    p_batch = sub.add_parser(
+        "batch", help="config-5 batch pipeline (manifest of pair jobs / streamed clip pair)"
+    )
+    p_batch.add_argument("--manifest", default=None, help="JSON: {jobs: [{a, b, points, n_frames, out}]}")
+    p_batch.add_argument("--clip-a", default=None)
+    p_batch.add_argument("--clip-b", default=None)
+    p_batch.add_argument("--points", default=None)
+    p_batch.add_argument("--out", default="batch_out.vmc")
+    p_batch.add_argument("--frames", type=int, default=16, help="default n_frames for manifest jobs")
+    _add_param_overrides(p_batch)
+    p_batch.set_defaults(fn=cmd_batch)
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
     p_bench.set_defaults(fn=cmd_bench)

@@ -40,6 +40,48 @@ def write_vmc(path: str, frames: np.ndarray) -> None:
         f.write(np.ascontiguousarray(arr).tobytes())
 
 
+class VmcWriter:
+    """Incremental .vmc writer for streaming pipelines (config 5 encode side).
+
+    Frames append block-by-block; the frame-count field of the header is
+    back-patched on close, so a morph's output streams to disk while the
+    device is still computing later blocks.
+    """
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+        self._t = 0
+        self._hwc: Optional[Tuple[int, int, int]] = None
+        self._f.write(_VMC_HEADER.pack(_VMC_MAGIC, 0, 0, 0, 0))
+
+    def append(self, frames: np.ndarray) -> None:
+        arr = frames if frames.dtype == np.uint8 else to_uint8(frames)
+        if arr.ndim == 3:
+            arr = arr[None]
+        hwc = arr.shape[1:]
+        if self._hwc is None:
+            self._hwc = hwc
+        elif hwc != self._hwc:
+            raise ValueError(f"frame shape changed: {hwc} != {self._hwc}")
+        self._f.write(np.ascontiguousarray(arr).tobytes())
+        self._t += arr.shape[0]
+
+    def close(self) -> None:
+        if self._f is None:
+            return
+        h, w, c = self._hwc if self._hwc is not None else (0, 0, 0)
+        self._f.seek(0)
+        self._f.write(_VMC_HEADER.pack(_VMC_MAGIC, self._t, h, w, c))
+        self._f.close()
+        self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_vmc_header(path: str) -> Tuple[int, int, int, int]:
     with open(path, "rb") as f:
         magic, t, h, w, c = _VMC_HEADER.unpack(f.read(_VMC_HEADER.size))
