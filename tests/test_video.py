@@ -79,6 +79,30 @@ class TestTemporal:
         np.testing.assert_allclose(inner[..., 1], 1.5, atol=1e-2)
         assert float(np.asarray(tc_w)[4:-4, 4:-4].mean()) > 0.9
 
+    def test_gather_advect_matches_splat_oracle(self, rng):
+        """The gather-based inversion must agree with the forward-splat
+        oracle on a smooth deformation (where both are well-defined)."""
+        from videomorphing_tpu.video.temporal import advect_halfway_field_splat
+
+        h = w = 48
+        g = grid_coords(h, w)
+        # smooth low-frequency field and flows
+        ph = 2 * np.pi * g[..., 0] / h
+        pw = 2 * np.pi * g[..., 1] / w
+        v_prev = jnp.stack([0.8 * jnp.sin(ph), 1.2 * jnp.cos(pw)], -1)
+        flow_a = jnp.stack([0.5 * jnp.cos(pw), 1.0 + 0.4 * jnp.sin(ph)], -1)
+        flow_b = jnp.stack([-0.3 * jnp.sin(pw), 0.8 - 0.4 * jnp.cos(ph)], -1)
+        vp = VideoParams()
+        tc_v, tc_w = advect_halfway_field(v_prev, flow_a, flow_b, vp)
+        sp_v, sp_w = advect_halfway_field_splat(v_prev, flow_a, flow_b, vp)
+        both = (np.asarray(tc_w)[..., 0] > 0.5) & (np.asarray(sp_w)[..., 0] > 0.5)
+        inner = np.zeros((h, w), bool)
+        inner[6:-6, 6:-6] = True
+        m = both & inner
+        assert m.mean() > 0.5  # the valid regions overlap substantially
+        diff = np.abs(np.asarray(tc_v) - np.asarray(sp_v))[m]
+        assert diff.max() < 0.15, diff.max()
+
     def test_track_points(self):
         flow = jnp.zeros((16, 16, 2)).at[..., 1].set(2.0)
         pts = jnp.asarray([[[8.0, 4.0], [8.0, 6.0]]])

@@ -105,6 +105,7 @@ class SynthParams:
 
     # backward path inversion (SURVEY.md s1.4 item 2)
     invert_iters: int = 6            # fixed-point iterations to invert x_t(p)=q
+    invert_multiscale: bool = True   # run all but the last iter at half res
 
     # blending [TOG14 s5.2]
     blend_mode: str = "poisson"      # "linear" | "poisson" (gradient-domain)
@@ -138,7 +139,9 @@ class VideoParams:
 
     # temporal propagation [EGSR14 s4]
     propagate: bool = True
-    tc_fill_thresh: float = 0.25     # min splat weight to trust a propagated v
+    tc_fill_thresh: float = 0.25     # min splat weight to trust a propagated v (splat oracle)
+    advect_invert_iters: int = 3     # fixed-point iters inverting the advection map
+    advect_residual: float = 0.75    # px: inversion residual where confidence hits 0
 
     dtype: str = "float32"
 

@@ -38,6 +38,7 @@ def invert_path(
     b: Optional[jnp.ndarray],
     t,
     n_iters: int = 6,
+    multiscale: bool = True,
 ) -> jnp.ndarray:
     """Find halfway coords p(q) with x_t(p) = q for every output pixel q.
 
@@ -45,10 +46,32 @@ def invert_path(
     the current estimate). Converges fast because d_t is smooth and the
     optimizer keeps both warps fold-free; ``n_iters`` is static.
     Returns (H, W, 2) halfway coordinates.
+
+    ``multiscale``: gathers are index-count bound on TPU (~41 ms per
+    full-res iteration at 1080p, measured), and d_t is smooth — so all but
+    the last iteration run on a half-resolution copy of the displacement
+    (1/4 the indices), with one full-resolution polish at the end. Falls
+    back to the plain loop on small images.
     """
     h, w = v.shape[0], v.shape[1]
     q = grid_coords(h, w, dtype=v.dtype)
     disp = path_displacement(v, b, t)
+
+    if multiscale and min(h, w) >= 128 and n_iters > 1:
+        from videomorphing_tpu.ops.pyramid import downsample_2x
+
+        hh, ww = -(-h // 2), -(-w // 2)
+        # coarse displacement: values rescaled to coarse-pixel units
+        disp_c = downsample_2x(disp) * 0.5
+        qc = grid_coords(hh, ww, dtype=v.dtype)
+
+        def body_c(_, pc):
+            return qc - bilinear_sample(disp_c, pc)
+
+        pc = jax.lax.fori_loop(0, n_iters - 1, body_c, qc)
+        corr = jax.image.resize(pc - qc, (h, w, 2), method="bilinear")
+        p = q + corr * 2.0
+        return q - bilinear_sample(disp, p)
 
     def body(_, p):
         return q - bilinear_sample(disp, p)
@@ -81,18 +104,24 @@ def render_frame(
     """
     h, w = i0.shape[0], i0.shape[1]
     t = jnp.asarray(t, v.dtype)
-    p = invert_path(v, b, t, sp.invert_iters)
+    p = invert_path(v, b, t, sp.invert_iters, multiscale=sp.invert_multiscale)
     v_at_p = bilinear_sample(v, p)
     phi0 = p - v_at_p
     phi1 = p + v_at_p
 
-    w0 = bilinear_sample(i0, phi0)
-    w1 = bilinear_sample(i1, phi1)
+    # gathers are index-count bound: riding the confidence map along as a
+    # 4th image channel makes its sampling free vs a separate gather
+    if conf0 is not None and conf1 is not None:
+        s0 = bilinear_sample(jnp.concatenate([i0, conf0[..., None]], -1), phi0)
+        s1 = bilinear_sample(jnp.concatenate([i1, conf1[..., None]], -1), phi1)
+        w0, c0 = s0[..., :-1], s0[..., -1]
+        w1, c1 = s1[..., :-1], s1[..., -1]
+    else:
+        w0 = bilinear_sample(i0, phi0)
+        w1 = bilinear_sample(i1, phi1)
+        c0 = c1 = None
     m0 = inside_mask(phi0, h, w)
     m1 = inside_mask(phi1, h, w)
-
-    c0 = bilinear_sample(conf0, phi0) if conf0 is not None else None
-    c1 = bilinear_sample(conf1, phi1) if conf1 is not None else None
 
     out = blend_extended(w0, w1, m0, m1, t, sp, c0, c1)
 
