@@ -109,6 +109,56 @@ class TestTemporal:
         out = track_points(pts, flow, flow)
         np.testing.assert_allclose(np.asarray(out), [[[8, 6], [8, 8]]], atol=1e-5)
 
+    def test_track_keyframe_points(self):
+        """Keyframe points track forward/backward by flow and re-anchor at
+        keyframes (drift correction, EGSR14 s3)."""
+        from videomorphing_tpu.video.temporal import track_keyframe_points
+
+        t_len, h, w = 6, 16, 16
+        # uniform +1 px/frame x-translation in both clips
+        fwd = jnp.zeros((t_len - 1, h, w, 2)).at[..., 1].set(1.0)
+        bwd = jnp.zeros((t_len - 1, h, w, 2)).at[..., 1].set(-1.0)
+        # keyframes at 2 and 4; the frame-4 value deliberately disagrees
+        # with pure tracking (user corrected +0.5 of drift)
+        key_idx = [2, 4]
+        key_pts = jnp.asarray(
+            [
+                [[[8.0, 4.0], [8.0, 6.0]]],
+                [[[8.0, 6.5], [8.0, 8.5]]],
+            ]
+        )
+        out = np.asarray(
+            track_keyframe_points(t_len, key_idx, key_pts, fwd, bwd, fwd, bwd)
+        )
+        assert out.shape == (t_len, 1, 2, 2)
+        # keyframes are authoritative
+        np.testing.assert_allclose(out[2], np.asarray(key_pts[0]), atol=1e-5)
+        np.testing.assert_allclose(out[4], np.asarray(key_pts[1]), atol=1e-5)
+        # forward tracking from keyframe 2: frame 3 = keyframe2 + 1px
+        np.testing.assert_allclose(out[3, 0, 0], [8.0, 5.0], atol=1e-5)
+        # after keyframe 4: continues from the CORRECTED value
+        np.testing.assert_allclose(out[5, 0, 0], [8.0, 7.5], atol=1e-5)
+        # before the first keyframe: tracked backward (x decreases)
+        np.testing.assert_allclose(out[1, 0, 0], [8.0, 3.0], atol=1e-5)
+        np.testing.assert_allclose(out[0, 0, 0], [8.0, 2.0], atol=1e-5)
+
+    def test_pipeline_accepts_keyframe_dict(self):
+        t_len, h, w = 4, 32, 32
+        clip_a = _moving_clip(t_len, h, w, (16, 10), (0, 1))
+        clip_b = _moving_clip(t_len, h, w, (16, 14), (0, 1))
+        mp = MorphParams(n_levels=2, iters_coarse=20, iters_fine=10)
+        vp = VideoParams(flow_iters=20)
+        pts = {
+            0: np.asarray([[[16.0, 10.0], [16.0, 14.0]]], np.float32),
+            3: np.asarray([[[16.0, 13.0], [16.0, 17.0]]], np.float32),
+        }
+        fields, tracked, _ = solve_clip_fields(clip_a, clip_b, pts, mp, vp)
+        assert fields.shape == (t_len, h, w, 2)
+        assert tracked.shape == (t_len, 1, 2, 2)
+        np.testing.assert_allclose(
+            np.asarray(tracked[3]), pts[3], atol=1e-5
+        )
+
 
 class TestPipeline:
     def test_moving_blob_video(self):

@@ -59,6 +59,38 @@ def morph_clips(
     )
 
 
+def morph_pair_layered(
+    i0,
+    i1,
+    layers,
+    points=None,
+    n_frames: int = 16,
+    mp: MorphParams = MorphParams(),
+    sp: SynthParams = SynthParams(),
+) -> jnp.ndarray:
+    """Layered morph: independently-moving regions get their own fields.
+
+    ``layers``: sequence of ``models.layered.Layer`` or dicts with keys
+    ``mask0``/``mask1`` ((H, W) float arrays) and optional ``points``.
+    """
+    from videomorphing_tpu.models.layered import Layer
+    from videomorphing_tpu.models.layered import morph_pair_layered as _mpl
+
+    norm = []
+    for l in layers:
+        if isinstance(l, Layer):
+            norm.append(l)
+        else:
+            norm.append(
+                Layer(
+                    mask0=_dev(l["mask0"]),
+                    mask1=_dev(l["mask1"]),
+                    points=_pts(l.get("points")),
+                )
+            )
+    return _mpl(_dev(i0), _dev(i1), norm, _pts(points), n_frames, mp, sp)
+
+
 class Session:
     """Interactive morphing session with warm restarts on point edits."""
 
@@ -100,9 +132,28 @@ def _dev(x) -> jnp.ndarray:
     return arr.astype(jnp.float32) if arr.dtype != jnp.float32 else arr
 
 
-def _pts(points) -> Optional[jnp.ndarray]:
+def _pts(points):
+    """Normalize correspondences: (N, 2, 2) array, or a keyframe mapping
+    ``{frame_idx: (N, 2, 2)}`` (video only — same N point identities per
+    keyframe, flow-tracked between them [EGSR14 s3])."""
     if points is None:
         return None
+    if isinstance(points, dict):
+        out = {}
+        n = None
+        for k, v in points.items():
+            p = jnp.asarray(v, jnp.float32)
+            if p.ndim != 3 or p.shape[1:] != (2, 2):
+                raise ValueError(
+                    f"keyframe {k}: points must be (N, 2, 2), got {p.shape}"
+                )
+            if n is not None and p.shape[0] != n:
+                raise ValueError(
+                    "all keyframes must carry the same N point identities"
+                )
+            n = p.shape[0]
+            out[int(k)] = p
+        return out
     pts = jnp.asarray(points, jnp.float32)
     if pts.ndim != 3 or pts.shape[1:] != (2, 2):
         raise ValueError(

@@ -30,11 +30,17 @@ from videomorphing_tpu.utils.checkpoint import FieldStore
 from videomorphing_tpu.utils.logging import MetricsLogger, level_record
 
 
-def _load_points(path: Optional[str]) -> Optional[np.ndarray]:
+def _load_points(path: Optional[str]):
+    """Points JSON: ``[[..],..]`` / ``{"points": [..]}`` for one frame, or
+    ``{"keyframes": {"0": [..], "12": [..]}}`` for keyframed video points."""
     if not path:
         return None
     with open(path) as f:
         d = json.load(f)
+    if isinstance(d, dict) and "keyframes" in d:
+        return {
+            int(k): np.asarray(v, np.float32) for k, v in d["keyframes"].items()
+        }
     pts = np.asarray(d["points"] if isinstance(d, dict) else d, np.float32)
     return pts
 
@@ -172,6 +178,25 @@ def _run_project_pair(proj: Project, args) -> int:
     i0 = load_image(args.image_a)
     i1 = load_image(args.image_b)
     t0 = time.perf_counter()
+    if proj.layers:
+        layers = [
+            dict(
+                mask0=load_image(l["mask_a"]).mean(-1),
+                mask1=load_image(l["mask_b"]).mean(-1),
+                points=np.asarray(l["points"], np.float32) if l.get("points") else None,
+            )
+            for l in proj.layers
+        ]
+        frames = api.morph_pair_layered(
+            i0, i1, layers, proj.points, proj.n_frames, proj.morph, proj.synth
+        )
+        np_frames = np.asarray(frames)
+        save_clip(proj.output, np_frames)
+        print(
+            f"wrote {np_frames.shape[0]} layered frames to {proj.output} "
+            f"in {time.perf_counter()-t0:.2f}s"
+        )
+        return 0
     art = api.solve_pair(i0, i1, proj.points, proj.morph, proj.synth)
     ts = (
         jnp.asarray(proj.times)

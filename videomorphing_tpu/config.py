@@ -142,6 +142,13 @@ class VideoParams:
     tc_fill_thresh: float = 0.25     # min splat weight to trust a propagated v (splat oracle)
     advect_invert_iters: int = 3     # fixed-point iters inverting the advection map
     advect_residual: float = 0.75    # px: inversion residual where confidence hits 0
+    advect_scale: float = 0.5        # resolution the advection inversion runs at
+    # warm-solve schedule for propagated frames [EGSR14 s4: far fewer
+    # iterations than a cold start]: mid = half-res level, fine = full res
+    # (probed at 480p: halving these vs 30/20 changes output by ~2e-4 mean
+    # abs — warm frames start close to the optimum)
+    warm_iters_mid: int = 20
+    warm_iters_fine: int = 12
 
     dtype: str = "float32"
 

@@ -10,8 +10,16 @@ Schema (all sections optional except sources):
   "source_a": "clipA.vmc" | "a.png",      # image or clip path
   "source_b": "...",
   "points": [[[y0,x0],[y1,x1]], ...],      # full-res correspondence pairs
+  "keyframes": {"0": [...], "12": [...]},  # video: per-keyframe point sets
+                                           # (same N identities, flow-tracked
+                                           # between keyframes [EGSR14 s3])
   "n_frames": 16,                          # image-pair mode
   "times": [t0, t1, ...],                  # optional explicit schedule
+  "layers": [                              # optional morph layers (image mode)
+    {"mask_a": "m0.png", "mask_b": "m1.png",
+     "points": [[[y0,x0],[y1,x1]], ...]},  # layer-local correspondences
+    ...                                    # bottom-to-top compositing order
+  ],
   "morph": {"lambda_tps": ..., ...},       # MorphParams overrides
   "synth": {...},                          # SynthParams overrides
   "video": {...},                          # VideoParams overrides
@@ -35,7 +43,8 @@ from videomorphing_tpu.config import MorphParams, SynthParams, VideoParams
 class Project:
     source_a: str
     source_b: str
-    points: Optional[np.ndarray] = None      # (N, 2, 2) float32
+    points: Any = None   # (N, 2, 2) float32, or {frame_idx: (N, 2, 2)} keyframes
+    layers: Optional[List[Dict[str, Any]]] = None  # [{mask_a, mask_b, points}]
     n_frames: int = 16
     times: Optional[np.ndarray] = None
     morph: MorphParams = MorphParams()
@@ -53,10 +62,16 @@ class Project:
             "synth": _overrides(self.synth, SynthParams()),
             "video": _overrides(self.video, VideoParams()),
         }
-        if self.points is not None and len(self.points):
+        if isinstance(self.points, dict):
+            d["keyframes"] = {
+                str(k): np.asarray(v).tolist() for k, v in self.points.items()
+            }
+        elif self.points is not None and len(self.points):
             d["points"] = np.asarray(self.points).tolist()
         if self.times is not None:
             d["times"] = np.asarray(self.times).tolist()
+        if self.layers:
+            d["layers"] = self.layers
         return d
 
 
@@ -79,7 +94,14 @@ def load_project(path: str) -> Project:
     with open(path) as f:
         d = json.load(f)
     points = None
-    if d.get("points"):
+    if d.get("keyframes"):
+        points = {}
+        for k, v in d["keyframes"].items():
+            p = np.asarray(v, np.float32)
+            if p.ndim != 3 or p.shape[1:] != (2, 2):
+                raise ValueError(f"keyframe {k}: points must be [[y0,x0],[y1,x1]] pairs")
+            points[int(k)] = p
+    elif d.get("points"):
         points = np.asarray(d["points"], np.float32)
         if points.ndim != 3 or points.shape[1:] != (2, 2):
             raise ValueError("points must be a list of [[y0,x0],[y1,x1]] pairs")
@@ -90,6 +112,7 @@ def load_project(path: str) -> Project:
         points=points,
         n_frames=int(d.get("n_frames", 16)),
         times=times,
+        layers=d.get("layers"),
         morph=_apply(MorphParams, MorphParams(), d.get("morph", {})),
         synth=_apply(SynthParams, SynthParams(), d.get("synth", {})),
         video=_apply(VideoParams, VideoParams(), d.get("video", {})),

@@ -31,7 +31,10 @@ from videomorphing_tpu.synth.paths import bulge_field
 from videomorphing_tpu.synth.render import render_frame
 from videomorphing_tpu.video.flow import clip_flows
 from videomorphing_tpu.video.occlusion import occlusion_confidence
-from videomorphing_tpu.video.temporal import advect_halfway_field, track_points
+from videomorphing_tpu.video.temporal import (
+    advect_halfway_field,
+    track_keyframe_points,
+)
 
 
 class VideoResult(NamedTuple):
@@ -41,17 +44,16 @@ class VideoResult(NamedTuple):
     tracked_points: Optional[jnp.ndarray]  # (T, N, 2, 2) tracked UI pairs
 
 
-# warm-solve schedule for propagated frames: (level, iters) pairs, finest last
-WARM_ITERS_MID = 30
-WARM_ITERS_FINE = 20
+def _make_warm_solver(mp: MorphParams, hw: Tuple[int, int], vp: VideoParams = VideoParams()):
+    """Static two-level warm solve used inside the frame scan.
 
-
-def _make_warm_solver(mp: MorphParams, hw: Tuple[int, int]):
-    """Static two-level warm solve used inside the frame scan."""
+    Iteration caps come from ``vp.warm_iters_mid/fine`` — warm-started
+    frames need far fewer iterations than a cold start [EGSR14 s4].
+    """
     h, w = hw
     mid_hw = pyramid_shapes(h, w, 2)[1]
-    solve_mid = make_level_solver(mp, WARM_ITERS_MID)
-    solve_fine = make_level_solver(mp, WARM_ITERS_FINE)
+    solve_mid = make_level_solver(mp, vp.warm_iters_mid)
+    solve_fine = make_level_solver(mp, vp.warm_iters_fine)
 
     def warm_solve(a, b, points, v_init, tc_v, tc_w):
         # mid level
@@ -90,15 +92,13 @@ def _jitted_clip_flows(vp: VideoParams):
 def _jitted_frame_scan(mp: MorphParams, vp: VideoParams, hw: Tuple[int, int]):
     """The warm-started per-frame scan as ONE jitted device program."""
     h, w = hw
-    warm_solve = _make_warm_solver(mp, hw)
+    warm_solve = _make_warm_solver(mp, hw, vp)
 
-    def run(clip_a_rest, clip_b_rest, v0, points, fa_fwd, fb_fwd):
+    def run(clip_a_rest, clip_b_rest, v0, ptss_rest, fa_fwd, fb_fwd):
         dtype = clip_a_rest.dtype
 
-        def scan_body(carry, xs):
-            v_prev, pts_prev = carry
-            a_t, b_t, fa_t, fb_t = xs
-            pts_t = track_points(pts_prev, fa_t, fb_t)
+        def scan_body(v_prev, xs):
+            a_t, b_t, pts_t, fa_t, fb_t = xs
             if vp.propagate:
                 tc_v, tc_w = advect_halfway_field(v_prev, fa_t, fb_t, vp)
             else:
@@ -108,11 +108,11 @@ def _jitted_frame_scan(mp: MorphParams, vp: VideoParams, hw: Tuple[int, int]):
                 a_t, b_t, pts_t,
                 tc_v if vp.propagate else jnp.zeros_like(v_prev), tc_v, tc_w,
             )
-            return (v_t, pts_t), (v_t, pts_t)
+            return v_t, v_t
 
-        xs = (clip_a_rest, clip_b_rest, fa_fwd, fb_fwd)
-        (_vf, _pf), (vs, ptss) = jax.lax.scan(scan_body, (v0, points), xs)
-        return vs, ptss
+        xs = (clip_a_rest, clip_b_rest, ptss_rest, fa_fwd, fb_fwd)
+        _vf, vs = jax.lax.scan(scan_body, v0, xs)
+        return vs
 
     return jax.jit(run)
 
@@ -126,34 +126,59 @@ def solve_clip_fields(
 ):
     """Solve halfway fields for every frame pair of two clips (T, H, W, C).
 
+    ``points`` may be a single (N, 2, 2) array (correspondences on frame 0,
+    tracked forward — the simple case) or a mapping ``{frame_idx: (N,2,2)}``
+    of KEYFRAME point sets [EGSR14 s3]: the same N point identities placed
+    by the user on several frames, flow-tracked to the frames between and
+    re-anchored at each keyframe (drift correction).
+
     Returns ``(fields (T,H,W,2), tracked (T,N,2,2), flows)`` where flows is
     the dict of per-clip fwd/bwd flows (reused for occlusion weighting).
     """
     t_len, h, w = clip_a.shape[0], clip_a.shape[1], clip_a.shape[2]
     dtype = clip_a.dtype
-    if points is None:
-        points = jnp.zeros((0, 2, 2), dtype)
 
     # per-clip flows, once, vmapped over frame pairs [EGSR14]
     flows_fn = _jitted_clip_flows(vp)
     fa_fwd, fa_bwd = flows_fn(clip_a)
     fb_fwd, fb_bwd = flows_fn(clip_b)
+    flows = dict(fa_fwd=fa_fwd, fa_bwd=fa_bwd, fb_fwd=fb_fwd, fb_bwd=fb_bwd)
+
+    # normalize points to keyframe form and track to every frame
+    if points is None:
+        key_idx, key_pts = [0], jnp.zeros((1, 0, 2, 2), dtype)
+    elif isinstance(points, dict):
+        key_idx = sorted(int(k) for k in points)
+        key_pts = jnp.stack([jnp.asarray(points[k], dtype) for k in key_idx])
+    else:
+        key_idx, key_pts = [0], jnp.asarray(points, dtype)[None]
+    tracked = _jitted_track(t_len, tuple(key_idx), mp, vp)(
+        key_pts, fa_fwd, fa_bwd, fb_fwd, fb_bwd
+    )
 
     # frame 0: cold full-pyramid solve
-    res0 = optimize_pair(clip_a[0], clip_b[0], points=points, params=mp)
+    res0 = optimize_pair(clip_a[0], clip_b[0], points=tracked[0], params=mp)
     v0 = res0.v
 
     if t_len == 1:
-        return v0[None], points[None], dict(fa_fwd=fa_fwd, fa_bwd=fa_bwd, fb_fwd=fb_fwd, fb_bwd=fb_bwd)
+        return v0[None], tracked, flows
 
-    vs, ptss = _jitted_frame_scan(mp, vp, (h, w))(
-        clip_a[1:], clip_b[1:], v0, points, fa_fwd, fb_fwd
+    vs = _jitted_frame_scan(mp, vp, (h, w))(
+        clip_a[1:], clip_b[1:], v0, tracked[1:], fa_fwd, fb_fwd
     )
 
     fields = jnp.concatenate([v0[None], vs], axis=0)
-    tracked = jnp.concatenate([points[None], ptss], axis=0)
-    flows = dict(fa_fwd=fa_fwd, fa_bwd=fa_bwd, fb_fwd=fb_fwd, fb_bwd=fb_bwd)
     return fields, tracked, flows
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_track(t_len: int, key_idx: Tuple[int, ...], mp: MorphParams, vp: VideoParams):
+    def run(key_pts, fa_fwd, fa_bwd, fb_fwd, fb_bwd):
+        return track_keyframe_points(
+            t_len, key_idx, key_pts, fa_fwd, fa_bwd, fb_fwd, fb_bwd
+        )
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=None)

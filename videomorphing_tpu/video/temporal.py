@@ -16,13 +16,24 @@ fewer iterations than frame 0 (SURVEY.md section 1.2 E_TC).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from videomorphing_tpu.config import VideoParams
 from videomorphing_tpu.ops.poisson import pull_push_extend
 from videomorphing_tpu.ops.resample import bilinear_sample, grid_coords
+
+
+def _resize_field(v: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Resize a displacement field, rescaling vector magnitudes to the new
+    grid's pixel units (same semantics as solver.ctf.resample_field)."""
+    h0, w0 = v.shape[0], v.shape[1]
+    out = jax.image.resize(v, (hw[0], hw[1], 2), method="bilinear")
+    return out * jnp.asarray([hw[0] / h0, hw[1] / w0], dtype=v.dtype)
 
 
 def bilinear_splat(
@@ -92,6 +103,21 @@ def advect_halfway_field(
     the splat-based oracle (:func:`advect_halfway_field_splat`).
     """
     h, w = v_prev.shape[0], v_prev.shape[1]
+    if vp.advect_scale < 1.0 and min(h, w) >= 128:
+        # the field and flows are smooth and the prediction is only a soft
+        # prior (warm start + E_TC anchor), so the whole inversion runs at
+        # reduced resolution — same rationale and factor as flow_scale
+        hh = max(int(round(h * vp.advect_scale)), 1)
+        ww = max(int(round(w * vp.advect_scale)), 1)
+        v_h = _resize_field(v_prev, (hh, ww))
+        fa_h = _resize_field(flow_a, (hh, ww))
+        fb_h = _resize_field(flow_b, (hh, ww))
+        vp_full = dataclasses.replace(vp, advect_scale=1.0)
+        tc_h, conf_h = advect_halfway_field(v_h, fa_h, fb_h, vp_full)
+        tc_v = _resize_field(tc_h, (h, w))
+        conf = jax.image.resize(conf_h, (h, w, 1), method="bilinear")
+        return tc_v, conf
+
     g = grid_coords(h, w, dtype=v_prev.dtype)
     x0 = g - v_prev
     x1 = g + v_prev
@@ -141,6 +167,80 @@ def advect_halfway_field_splat(
     )
     conf = jnp.clip(wgt, 0.0, 1.0) * (wgt > vp.tc_fill_thresh)
     return filled, conf[..., None].astype(v_prev.dtype)
+
+
+def track_keyframe_points(
+    t_len: int,
+    key_idx,
+    key_pts: jnp.ndarray,
+    fa_fwd: jnp.ndarray,
+    fa_bwd: jnp.ndarray,
+    fb_fwd: jnp.ndarray,
+    fb_bwd: jnp.ndarray,
+) -> jnp.ndarray:
+    """Track UI point pairs from KEYFRAMES to every frame [EGSR14 s3].
+
+    The reference workflow: the user places correspondences on a few
+    keyframes; optical flow carries them to the in-between frames (with the
+    user correcting drift by adding more keyframes). ``key_idx`` is a
+    host-side sorted list of K frame indices, ``key_pts`` (K, N, 2, 2) the
+    user's point pairs at those frames (same N point identities per
+    keyframe). Frames after the first keyframe track forward from the most
+    recent keyframe; frames before it track backward from it. At a keyframe
+    the user's values are authoritative (tracking re-anchors there).
+
+    Returns (T, N, 2, 2). Runs as two jitted scans over the flow stacks
+    (``fa_*``/``fb_*``: (T-1, H, W, 2) per clip) — per-frame point tracking
+    is a handful of samples, so the scan exists to avoid T host dispatches,
+    not for FLOPs.
+    """
+    key_idx = [int(k) for k in key_idx]
+    n = key_pts.shape[1]
+    dtype = key_pts.dtype
+    if n == 0 or t_len == 1:
+        return jnp.broadcast_to(key_pts[:1], (t_len, n, 2, 2))
+
+    is_key = np.zeros((t_len,), bool)
+    pts_at = jnp.zeros((t_len, n, 2, 2), dtype)
+    for k, idx in enumerate(key_idx):
+        is_key[idx] = True
+        pts_at = pts_at.at[idx].set(key_pts[k])
+    is_key_dev = jnp.asarray(is_key)
+    first = key_idx[0]
+
+    def fwd_body(prev, xs):
+        fa_t, fb_t, key_t, pts_t = xs
+        cand = track_points(prev, fa_t, fb_t)
+        cur = jnp.where(key_t, pts_t, cand)
+        return cur, cur
+
+    p0 = pts_at[first]
+    if first < t_len - 1:
+        _, fwd_out = jax.lax.scan(
+            fwd_body,
+            p0,
+            (
+                fa_fwd[first:], fb_fwd[first:],
+                is_key_dev[first + 1:], pts_at[first + 1:],
+            ),
+        )
+        tracked = jnp.concatenate([p0[None], fwd_out], axis=0)
+    else:
+        tracked = p0[None]
+
+    if first > 0:
+        # frames before the first keyframe: track backward with the reverse
+        # flows (bwd[t] maps frame t+1 back to t, sampled at t+1)
+        def bwd_body(nxt, xs):
+            fa_t, fb_t = xs
+            cur = track_points(nxt, fa_t, fb_t)
+            return cur, cur
+
+        _, bwd_out = jax.lax.scan(
+            bwd_body, p0, (fa_bwd[:first], fb_bwd[:first]), reverse=True
+        )
+        tracked = jnp.concatenate([bwd_out, tracked], axis=0)
+    return tracked
 
 
 def track_points(
