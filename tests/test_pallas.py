@@ -212,3 +212,48 @@ def test_fused_warp_source_reuse():
     b = fused_warp_pair(i0, i1, v, interpret=True)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0, rtol=0)
+
+
+@pytest.mark.parametrize("kind", ["smooth", "wild"])
+def test_fused_sample_matches_gather(kind):
+    """General-coordinate fused sampler == XLA bilinear_sample (edge-clamp
+    semantics), including the fallback path on budget-busting coords."""
+    from videomorphing_tpu.ops.resample import bilinear_sample
+    from videomorphing_tpu.pallas.warp import fused_sample
+
+    h, w = 70, 300
+    i0, i1, v = _warp_case(h, w, kind)
+    g = grid_coords(h, w, jnp.float32)
+    c0 = g - v
+    c1 = g + 0.5 * v + 1.7
+    s0, s1 = fused_sample([i0, i1], [c0, c1], interpret=True)
+    assert _rel(bilinear_sample(i0, c0), s0) < 1e-5
+    assert _rel(bilinear_sample(i1, c1), s1) < 1e-5
+
+
+def test_fused_sample_single_2ch():
+    """n_imgs=1, C=2 variant (field sampling in the renderer)."""
+    from videomorphing_tpu.ops.resample import bilinear_sample
+    from videomorphing_tpu.pallas.warp import fused_sample
+
+    h, w = 48, 64
+    _i0, _i1, v = _warp_case(h, w, "smooth")
+    g = grid_coords(h, w, jnp.float32)
+    coords = g + 0.3 * v
+    (out,) = fused_sample([v], [coords], interpret=True)
+    assert _rel(bilinear_sample(v, coords), out) < 1e-5
+
+
+def test_fused_sample_c4_channel_blocks():
+    """C=4 runs in channel blocks (the conf-stacked render case)."""
+    from videomorphing_tpu.ops.resample import bilinear_sample
+    from videomorphing_tpu.pallas.warp import fused_sample
+
+    h, w = 48, 64
+    i0, i1, v = _warp_case(h, w, "smooth")
+    i0c = jnp.concatenate([i0, i0[..., :1] * 0.5], -1)
+    i1c = jnp.concatenate([i1, i1[..., :1] * 0.7], -1)
+    g = grid_coords(h, w, jnp.float32)
+    s0, s1 = fused_sample([i0c, i1c], [g - v, g + v], interpret=True)
+    assert _rel(bilinear_sample(i0c, g - v), s0) < 1e-5
+    assert _rel(bilinear_sample(i1c, g + v), s1) < 1e-5

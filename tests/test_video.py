@@ -196,3 +196,48 @@ class TestPipeline:
         np.testing.assert_allclose(
             np.asarray(res.frames[-1]), np.asarray(clip_b[-1]), atol=0.12
         )
+
+
+class TestResume:
+    def test_resume_matches_full_solve(self):
+        """Entering the warm scan mid-clip (checkpoint resume) reproduces
+        the full solve's remaining fields."""
+        from videomorphing_tpu.video.pipeline import resume_clip_fields
+
+        t_len, h, w = 5, 32, 32
+        clip_a = _moving_clip(t_len, h, w, (16, 10), (0, 1))
+        clip_b = _moving_clip(t_len, h, w, (16, 14), (0, 1))
+        mp = MorphParams(n_levels=2, iters_coarse=20, iters_fine=10)
+        vp = VideoParams(flow_iters=20)
+        fields, _, _ = solve_clip_fields(clip_a, clip_b, None, mp, vp)
+
+        start = 3
+        vs = resume_clip_fields(clip_a, clip_b, fields[start - 1], start, None, mp, vp)
+        assert vs.shape == (t_len - start, h, w, 2)
+        # same math entered mid-scan; only cross-executable fp noise differs
+        err = np.abs(np.asarray(vs) - np.asarray(fields[start:]))
+        assert err.mean() < 2e-2, err.mean()
+
+    def test_cli_resume_skips_solved_frames(self, tmp_path):
+        from videomorphing_tpu import cli
+        from videomorphing_tpu.io.clips import write_vmc, read_vmc_header
+        from videomorphing_tpu.utils.checkpoint import FieldStore
+
+        t_len, h, w = 3, 32, 32
+        clip_a = np.asarray(_moving_clip(t_len, h, w, (16, 10), (0, 1)))
+        clip_b = np.asarray(_moving_clip(t_len, h, w, (16, 14), (0, 1)))
+        pa, pb = str(tmp_path / "a.vmc"), str(tmp_path / "b.vmc")
+        write_vmc(pa, clip_a)
+        write_vmc(pb, clip_b)
+        fields_path = str(tmp_path / "fields.npz")
+        out = str(tmp_path / "m.vmc")
+        common = ["video", pa, pb, "--out", out, "--fields", fields_path,
+                  "--levels", "2", "--iters", "10", "--no-quadratic-paths",
+                  "--blend", "linear"]
+        assert cli.main(common) == 0
+        store = FieldStore(fields_path)
+        assert store.first_pending() == t_len  # all frames checkpointed
+        # second run resumes: all frames skipped, output still written
+        out2 = str(tmp_path / "m2.vmc")
+        assert cli.main(common[:4] + [out2] + common[5:]) == 0
+        assert read_vmc_header(out2)[0] == t_len

@@ -54,6 +54,8 @@ def _add_param_overrides(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--blend", choices=["linear", "poisson"], default=None)
     ap.add_argument("--no-quadratic-paths", action="store_true")
     ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument("--trace", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler (TensorBoard/Perfetto) trace")
 
 
 def _params_from_args(args) -> tuple[MorphParams, SynthParams, VideoParams]:
@@ -78,6 +80,7 @@ def _params_from_args(args) -> tuple[MorphParams, SynthParams, VideoParams]:
 
 def cmd_pair(args) -> int:
     from videomorphing_tpu import api
+    from videomorphing_tpu.utils.profiling import trace_to
 
     m = MetricsLogger(verbose=args.verbose)
     mp, sp, _ = _params_from_args(args)
@@ -86,7 +89,7 @@ def cmd_pair(args) -> int:
     points = _load_points(args.points)
 
     t0 = time.perf_counter()
-    with m.phase("solve"):
+    with trace_to(args.trace), m.phase("solve"):
         art = api.solve_pair(i0, i1, points, mp, sp)
         art.v.block_until_ready()
     from videomorphing_tpu.ops.pyramid import pyramid_shapes
@@ -122,6 +125,7 @@ def cmd_pair(args) -> int:
 
 def cmd_video(args) -> int:
     from videomorphing_tpu import api
+    from videomorphing_tpu.utils.profiling import trace_to
 
     m = MetricsLogger(verbose=args.verbose)
     mp, sp, vp = _params_from_args(args)
@@ -131,9 +135,39 @@ def cmd_video(args) -> int:
     t_len, h, w = clip_a.shape[:3]
 
     store = FieldStore(args.fields) if args.fields else None
+    done_n = 0
+    if store is not None and store.done.shape == (t_len,):
+        done_n = store.first_pending()
+
     t0 = time.perf_counter()
-    with m.phase("video"):
-        res = api.morph_clips(clip_a, clip_b, points, mp=mp, sp=sp, vp=vp)
+    with trace_to(args.trace), m.phase("video"):
+        if done_n == t_len:
+            # all fields checkpointed: re-render without re-optimizing
+            from videomorphing_tpu.video.pipeline import render_video
+
+            v_all, b_all = store.fields()
+            res = render_video(
+                api._dev(clip_a), api._dev(clip_b), api._dev(v_all),
+                sp=sp, vp=vp,
+                bulges=api._dev(b_all) if sp.quadratic_paths else None,
+            )
+            m.emit("resume", skipped_frames=t_len)
+        elif done_n > 0:
+            # resume the warm-started scan at the first pending frame
+            from videomorphing_tpu.video.pipeline import render_video, resume_clip_fields
+
+            import jax.numpy as jnp
+
+            v_all, _ = store.fields()
+            vs = resume_clip_fields(
+                api._dev(clip_a), api._dev(clip_b), v_all[done_n - 1],
+                done_n, api._pts(points), mp, vp,
+            )
+            fields = jnp.concatenate([api._dev(v_all[:done_n]), vs], axis=0)
+            res = render_video(api._dev(clip_a), api._dev(clip_b), fields, sp=sp, vp=vp)
+            m.emit("resume", skipped_frames=done_n)
+        else:
+            res = api.morph_clips(clip_a, clip_b, points, mp=mp, sp=sp, vp=vp)
         res.frames.block_until_ready()
     dt = time.perf_counter() - t0
 

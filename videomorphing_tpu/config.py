@@ -106,6 +106,7 @@ class SynthParams:
     # backward path inversion (SURVEY.md s1.4 item 2)
     invert_iters: int = 6            # fixed-point iterations to invert x_t(p)=q
     invert_multiscale: bool = True   # run all but the last iter at half res
+    fused_sampling: bool = True      # Pallas fused sampler for render warps (TPU)
 
     # blending [TOG14 s5.2]
     blend_mode: str = "poisson"      # "linear" | "poisson" (gradient-domain)

@@ -116,8 +116,15 @@ def _warp_layer(
     phi0 = p - v_at_p
     phi1 = p + v_at_p
 
-    s0 = bilinear_sample(jnp.concatenate([i0, m0[..., None]], -1), phi0)
-    s1 = bilinear_sample(jnp.concatenate([i1, m1[..., None]], -1), phi1)
+    i0m = jnp.concatenate([i0, m0[..., None]], -1)
+    i1m = jnp.concatenate([i1, m1[..., None]], -1)
+    if sp.fused_sampling and jax.default_backend() == "tpu":
+        from videomorphing_tpu.pallas.warp import fused_sample
+
+        s0, s1 = fused_sample([i0m, i1m], [phi0, phi1])
+    else:
+        s0 = bilinear_sample(i0m, phi0)
+        s1 = bilinear_sample(i1m, phi1)
     w0, a0 = s0[..., :-1], s0[..., -1]
     w1, a1 = s1[..., :-1], s1[..., -1]
     in0 = inside_mask(phi0, h, w)

@@ -81,7 +81,10 @@ def make_warp_source(img: jnp.ndarray) -> WarpSource:
     return WarpSource(img=img, phases=phases)
 
 
-def _prep_image(coords_y, coords_x, h, w, gy, gx):
+def _prep_image(
+    coords_y, coords_x, h, w, gy, gx,
+    d_budget: int = D, dx_budget: int = DX, th: int = TH, tw: int = TW,
+):
     """Per-image tap indices, weights, per-tile bases and the budget check.
 
     Returns (dev, devx, fy, fx, oky, okx, row_start, phase, col_start,
@@ -99,9 +102,9 @@ def _prep_image(coords_y, coords_x, h, w, gy, gx):
     iy = iy.astype(jnp.int32)
     ix = ix.astype(jnp.int32)
 
-    hp, wp = gy * TH, gx * TW
-    row_in = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) % TH
-    col_in = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) % TW
+    hp, wp = gy * th, gx * tw
+    row_in = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) % th
+    col_in = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) % tw
 
     def pad_to(a, fill):
         return jnp.pad(a, ((0, hp - h), (0, wp - w)), constant_values=fill)
@@ -110,22 +113,22 @@ def _prep_image(coords_y, coords_x, h, w, gy, gx):
     rel_y = pad_to(iy, big) - row_in
     rel_x = pad_to(ix, big) - col_in
 
-    by_raw = jnp.min(rel_y.reshape(gy, TH, gx, TW), axis=(1, 3))   # (gy, gx)
-    bx_raw = jnp.min(rel_x.reshape(gy, TH, gx, TW), axis=(1, 3))
+    by_raw = jnp.min(rel_y.reshape(gy, th, gx, tw), axis=(1, 3))   # (gy, gx)
+    bx_raw = jnp.min(rel_x.reshape(gy, th, gx, tw), axis=(1, 3))
     phase = by_raw % 8                  # row fraction -> phase-copy index
     by_al = by_raw - phase
     bx_al = (bx_raw // 128) * 128
     bx_frac = bx_raw - bx_al
 
-    rep_y = jnp.repeat(jnp.repeat(by_raw, TH, 0), TW, 1)
-    rep_x = jnp.repeat(jnp.repeat(bx_raw, TH, 0), TW, 1)
+    rep_y = jnp.repeat(jnp.repeat(by_raw, th, 0), tw, 1)
+    rep_x = jnp.repeat(jnp.repeat(bx_raw, th, 0), tw, 1)
     dev = jnp.where(rel_y >= big // 2, 0, rel_y - rep_y)
     devx = jnp.where(rel_x >= big // 2, 0, rel_x - rep_x)
 
     inside = pad_to(jnp.ones((h, w), jnp.int32), 0)
     fits = (
-        jnp.max(jnp.where(inside > 0, dev, 0)) <= D - 1
-    ) & (jnp.max(jnp.where(inside > 0, devx, 0)) <= DX - 1)
+        jnp.max(jnp.where(inside > 0, dev, 0)) <= d_budget - 1
+    ) & (jnp.max(jnp.where(inside > 0, devx, 0)) <= dx_budget - 1)
 
     # window origin in the padded phase copy: phases[k][r] = img[r - OFFY + k]
     # and the true start is by_al + k, so the aligned DMA offset is
@@ -231,6 +234,176 @@ def _build_warp_call(C: int, gy: int, gx: int, interpret: bool):
 
 
 _warp_call_cached = functools.lru_cache(maxsize=None)(_build_warp_call)
+
+
+# Sampler tile geometry: narrower tiles than the solver warp (TW_S=128 vs
+# 256) both shrink scoped VMEM (a wide-budget 256-lane variant exceeded the
+# 16 MB limit) and halve the per-tile coordinate extent, so the same D/DX
+# budget tolerates ~2x steeper coordinate maps — render fields vary several
+# px per tile.
+TH_S, TW_S = 64, 128
+DX_SAMPLE = 8
+
+
+def _build_sample_call(
+    c_blk: int, nc: int, n_imgs: int, gy: int, gx: int, interpret: bool
+):
+    th, tw = TH_S, TW_S
+    """Values-only variant of :func:`_build_warp_call` for ARBITRARY smooth
+    coordinate maps (no interpolant derivatives): the renderer's backward
+    warps sample ``I(phi(q))`` where ``phi`` is not the halfway form
+    ``g -/+ v``. Channels run as the innermost grid axis in blocks of
+    ``c_blk`` (keeps scoped VMEM flat in C — a monolithic C=4 variant blew
+    the 16 MB scoped-vmem limit), and the lane-residual budget is
+    ``DX_SAMPLE`` instead of ``DX``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def roll_lanes(a, sx):
+        if interpret:
+            return jnp.roll(a, -sx, axis=2)
+        return pltpu.roll(a, -sx, axis=2)
+
+    def kernel(bases, *refs):
+        phs = refs[:n_imgs]
+        idxi, idxf, out, win, sem = refs[n_imgs:]
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        tk = pl.program_id(2)
+
+        for im in range(n_imgs):
+            rs = pl.multiple_of(bases[ti, tj, 4 * im + 0], 8)
+            ph = bases[ti, tj, 4 * im + 1]
+            cs = pl.multiple_of(bases[ti, tj, 4 * im + 2], 128)
+            cp = pltpu.make_async_copy(
+                phs[im].at[ph, pl.ds(tk * c_blk, c_blk), pl.ds(rs, RW), pl.ds(cs, WC)],
+                win.at[pl.ds(c_blk * im, c_blk)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+        for im in range(n_imgs):
+            xf = bases[ti, tj, 4 * im + 3]
+            dev = idxi[2 * im]
+            devx = idxi[2 * im + 1]
+            fy = idxf[2 * im]
+            fx = idxf[2 * im + 1]
+            w_win = roll_lanes(win[c_blk * im : c_blk * im + c_blk], xf)
+
+            z = jnp.zeros((c_blk, th, tw), jnp.float32)
+            t00 = t01 = t10 = t11 = z
+            for d in range(D):
+                rows0 = w_win[:, d : d + th]
+                rows1 = w_win[:, d + 1 : d + 1 + th]
+                my = dev == d
+                for dx in range(DX_SAMPLE):
+                    m = (my & (devx == dx)).astype(jnp.float32)
+                    t00 += m * rows0[:, :, dx : dx + tw]
+                    t01 += m * rows0[:, :, dx + 1 : dx + 1 + tw]
+                    t10 += m * rows1[:, :, dx : dx + tw]
+                    t11 += m * rows1[:, :, dx + 1 : dx + 1 + tw]
+
+            top = t00 + (t01 - t00) * fx
+            bot = t10 + (t11 - t10) * fx
+            out[0, c_blk * im : c_blk * im + c_blk] = top + (bot - top) * fy
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gy, gx, nc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_imgs
+        + [
+            pl.BlockSpec((2 * n_imgs, th, tw), lambda i, j, k, *_: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n_imgs, th, tw), lambda i, j, k, *_: (0, i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, n_imgs * c_blk, th, tw),
+                lambda i, j, k, *_: (k, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_imgs * c_blk, RW, WC), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, n_imgs * c_blk, gy * th, gx * tw), jnp.float32)
+        ],
+        interpret=interpret,
+    )
+
+
+_sample_call_cached = functools.lru_cache(maxsize=None)(_build_sample_call)
+
+
+def fused_sample(srcs, coords, *, interpret=None):
+    """Bilinearly sample each image at its own smooth coordinate map.
+
+    ``srcs``: sequence of :class:`WarpSource` (or raw (H, W, C) images, all
+    the same shape); ``coords``: matching sequence of (H, W, 2) maps in
+    (y, x). Returns a list of (H, W, C) sample planes. Twin of
+    ``[bilinear_sample(img_k, coords_k)]`` (same edge-clamp semantics);
+    Pallas-fast when every tile's coordinate variation fits the residual
+    budget, exact-XLA fallback otherwise.
+    """
+    srcs = [s if isinstance(s, WarpSource) else make_warp_source(s) for s in srcs]
+    n_imgs = len(srcs)
+    assert n_imgs == len(coords) and n_imgs >= 1
+    h, w, C = srcs[0].img.shape
+    for s in srcs:
+        assert s.img.shape == (h, w, C), "all sources must share (H, W, C)"
+    assert C in (1, 2, 3, 4), f"fused_sample supports C<=4, got {C}"
+    c_blk, nc = (C, 1) if C <= 3 else (2, 2)
+    interpret = _auto_interpret(interpret)
+    gy, gx = _cdiv(h, TH_S), _cdiv(w, TW_S)
+
+    preps = [
+        _prep_image(
+            co[..., 0], co[..., 1], h, w, gy, gx,
+            dx_budget=DX_SAMPLE, th=TH_S, tw=TW_S,
+        )
+        for co in coords
+    ]
+    fits = preps[0][-1]
+    for p_ in preps[1:]:
+        fits = fits & p_[-1]
+
+    def pallas_path(_):
+        call = _sample_call_cached(c_blk, nc, n_imgs, gy, gx, interpret)
+        bases = jnp.stack(
+            [p_[i] for p_ in preps for i in (6, 7, 8, 9)], axis=-1
+        ).astype(jnp.int32).reshape(gy, gx, 4 * n_imgs)
+        idxi = jnp.stack(
+            [p_[i] for p_ in preps for i in (0, 1)], 0
+        ).astype(jnp.int32)
+        idxf = jnp.stack(
+            [p_[i] for p_ in preps for i in (2, 3)], 0
+        ).astype(jnp.float32)
+        (out,) = call(bases, *[s.phases for s in srcs], idxi, idxf)
+        out = out[:, :, :h, :w]
+        return tuple(
+            jnp.moveaxis(
+                jnp.concatenate(
+                    [out[k, c_blk * im : c_blk * (im + 1)] for k in range(nc)], 0
+                ),
+                0, -1,
+            ).astype(coords[im].dtype)
+            for im in range(n_imgs)
+        )
+
+    def xla_path(_):
+        from videomorphing_tpu.ops.resample import bilinear_sample
+
+        return tuple(
+            bilinear_sample(s.img, co) for s, co in zip(srcs, coords)
+        )
+
+    return list(jax.lax.cond(fits, pallas_path, xla_path, None))
 
 
 def _auto_interpret(interpret):

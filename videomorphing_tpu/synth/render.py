@@ -71,12 +71,68 @@ def invert_path(
         pc = jax.lax.fori_loop(0, n_iters - 1, body_c, qc)
         corr = jax.image.resize(pc - qc, (h, w, 2), method="bilinear")
         p = q + corr * 2.0
+        if jax.default_backend() == "tpu":
+            from videomorphing_tpu.pallas.warp import fused_sample
+
+            (d_at_p,) = fused_sample([disp], [p])
+            return q - d_at_p
         return q - bilinear_sample(disp, p)
 
     def body(_, p):
         return q - bilinear_sample(disp, p)
 
     return jax.lax.fori_loop(0, n_iters, body, q)
+
+
+def invert_path_with_field(
+    v: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    t,
+    n_iters: int = 6,
+    multiscale: bool = True,
+):
+    """:func:`invert_path` that also returns ``v(p)`` — one gather cheaper.
+
+    The renderer needs both the inverted coords ``p`` and the field value
+    ``v(p)`` (for ``phi0/1 = p -/+ v(p)``). Gathers are index-count bound,
+    so the final full-resolution iteration samples the STACKED planes
+    ``[d_t, v]`` in one 4-channel gather: the displacement finishes the
+    fixed point and the ``v`` channels land for free. ``v`` is read at the
+    penultimate iterate (sub-0.1 px from the final one — far below the
+    field's variation scale).
+    Returns ``(p, v_at_p)``.
+    """
+    h, w = v.shape[0], v.shape[1]
+    q = grid_coords(h, w, dtype=v.dtype)
+    disp = path_displacement(v, b, t)
+    stacked = jnp.concatenate([disp, v], axis=-1)
+
+    if multiscale and min(h, w) >= 128 and n_iters > 1:
+        from videomorphing_tpu.ops.pyramid import downsample_2x
+
+        hh, ww = -(-h // 2), -(-w // 2)
+        disp_c = downsample_2x(disp) * 0.5
+        qc = grid_coords(hh, ww, dtype=v.dtype)
+
+        def body_c(_, pc):
+            return qc - bilinear_sample(disp_c, pc)
+
+        pc = jax.lax.fori_loop(0, n_iters - 1, body_c, qc)
+        corr = jax.image.resize(pc - qc, (h, w, 2), method="bilinear")
+        p = q + corr * 2.0
+    else:
+        def body(_, p_):
+            return q - bilinear_sample(disp, p_)
+
+        p = jax.lax.fori_loop(0, max(n_iters - 1, 1), body, q)
+
+    if jax.default_backend() == "tpu":
+        from videomorphing_tpu.pallas.warp import fused_sample
+
+        (s,) = fused_sample([stacked], [p])
+    else:
+        s = bilinear_sample(stacked, p)
+    return q - s[..., :2], s[..., 2:]
 
 
 class FrameAux(NamedTuple):
@@ -104,21 +160,32 @@ def render_frame(
     """
     h, w = i0.shape[0], i0.shape[1]
     t = jnp.asarray(t, v.dtype)
-    p = invert_path(v, b, t, sp.invert_iters, multiscale=sp.invert_multiscale)
-    v_at_p = bilinear_sample(v, p)
+    use_fused = sp.fused_sampling and jax.default_backend() == "tpu"
+    p, v_at_p = invert_path_with_field(
+        v, b, t, sp.invert_iters, multiscale=sp.invert_multiscale
+    )
     phi0 = p - v_at_p
     phi1 = p + v_at_p
 
     # gathers are index-count bound: riding the confidence map along as a
     # 4th image channel makes its sampling free vs a separate gather
     if conf0 is not None and conf1 is not None:
-        s0 = bilinear_sample(jnp.concatenate([i0, conf0[..., None]], -1), phi0)
-        s1 = bilinear_sample(jnp.concatenate([i1, conf1[..., None]], -1), phi1)
+        i0s = jnp.concatenate([i0, conf0[..., None]], -1)
+        i1s = jnp.concatenate([i1, conf1[..., None]], -1)
+    else:
+        i0s, i1s = i0, i1
+    if use_fused:
+        from videomorphing_tpu.pallas.warp import fused_sample
+
+        s0, s1 = fused_sample([i0s, i1s], [phi0, phi1])
+    else:
+        s0 = bilinear_sample(i0s, phi0)
+        s1 = bilinear_sample(i1s, phi1)
+    if conf0 is not None and conf1 is not None:
         w0, c0 = s0[..., :-1], s0[..., -1]
         w1, c1 = s1[..., :-1], s1[..., -1]
     else:
-        w0 = bilinear_sample(i0, phi0)
-        w1 = bilinear_sample(i1, phi1)
+        w0, w1 = s0, s1
         c0 = c1 = None
     m0 = inside_mask(phi0, h, w)
     m1 = inside_mask(phi1, h, w)

@@ -118,5 +118,10 @@ def clip_flows(clip: jnp.ndarray, vp: VideoParams = VideoParams()) -> Tuple[jnp.
     """
     a = clip[:-1]
     b = clip[1:]
-    f = jax.vmap(lambda x, y: flow_pair(x, y, vp))
-    return f(a, b), f(b, a)
+    # lax.map (sequential), NOT vmap: the flow solve is bandwidth-bound, so
+    # batching buys nothing, sequential keeps peak memory single-pair, and
+    # the inner executable is identical for every clip length (a fresh
+    # vmapped whole-program compile at batch 3 also reproducibly faulted
+    # this TPU runtime — sequential mapping sidesteps that entirely)
+    f = lambda xy: flow_pair(xy[0], xy[1], vp)
+    return jax.lax.map(f, (a, b)), jax.lax.map(f, (b, a))

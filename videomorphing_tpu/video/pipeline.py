@@ -238,9 +238,34 @@ def morph_video(
     """
     t_len = clip_a.shape[0]
     fields, tracked, flows = solve_clip_fields(clip_a, clip_b, points, mp, vp)
+    res = render_video(
+        clip_a, clip_b, fields, times=times, sp=sp, vp=vp,
+        flows=flows, render=render,
+    )
+    return res._replace(tracked_points=tracked)
 
-    bulges = None
-    if sp.quadratic_paths:
+
+def render_video(
+    clip_a: jnp.ndarray,
+    clip_b: jnp.ndarray,
+    fields: jnp.ndarray,
+    times: Optional[jnp.ndarray] = None,
+    sp: SynthParams = SynthParams(),
+    vp: VideoParams = VideoParams(),
+    bulges: Optional[jnp.ndarray] = None,
+    flows: Optional[dict] = None,
+    render: bool = True,
+) -> VideoResult:
+    """Synthesis half of the pipeline: paths + occlusion-aware render.
+
+    Separated from the solve so a run can re-render from a checkpointed
+    field store without re-optimizing (SURVEY.md section 6 checkpoint/
+    resume — the reference caches converged fields for exactly this).
+    ``flows`` (from :func:`solve_clip_fields`) are recomputed if absent and
+    occlusion weighting is on.
+    """
+    t_len = clip_a.shape[0]
+    if bulges is None and sp.quadratic_paths:
         bulges = _jitted_bulges(sp)(fields)
 
     frames = None
@@ -248,6 +273,11 @@ def morph_video(
         if times is None:
             times = jnp.linspace(0.0, 1.0, t_len, dtype=clip_a.dtype)
         if sp.occlusion_weighting and t_len > 1:
+            if flows is None:
+                flows_fn = _jitted_clip_flows(vp)
+                fa_fwd, fa_bwd = flows_fn(clip_a)
+                fb_fwd, fb_bwd = flows_fn(clip_b)
+                flows = dict(fa_fwd=fa_fwd, fa_bwd=fa_bwd, fb_fwd=fb_fwd, fb_bwd=fb_bwd)
             conf_a = _clip_confidences(flows["fa_fwd"], flows["fa_bwd"], t_len, vp)
             conf_b = _clip_confidences(flows["fb_fwd"], flows["fb_bwd"], t_len, vp)
         else:
@@ -259,4 +289,47 @@ def morph_video(
             clip_a, clip_b, fields, bl_arg, times, conf_a, conf_b
         )
 
-    return VideoResult(fields=fields, bulges=bulges, frames=frames, tracked_points=tracked)
+    return VideoResult(fields=fields, bulges=bulges, frames=frames, tracked_points=None)
+
+
+def resume_clip_fields(
+    clip_a: jnp.ndarray,
+    clip_b: jnp.ndarray,
+    v_prev,
+    start: int,
+    points: Optional[jnp.ndarray] = None,
+    mp: MorphParams = MorphParams(),
+    vp: VideoParams = VideoParams(),
+) -> jnp.ndarray:
+    """Continue a partially solved clip from frame ``start``.
+
+    ``v_prev`` is the converged field of frame ``start - 1`` (from a
+    :class:`videomorphing_tpu.utils.checkpoint.FieldStore`). Returns the
+    fields of frames [start, T) — the same warm-started scan the full solve
+    runs, entered mid-clip.
+    """
+    t_len, h, w = clip_a.shape[0], clip_a.shape[1], clip_a.shape[2]
+    assert 1 <= start < t_len
+    dtype = clip_a.dtype
+
+    flows_fn = _jitted_clip_flows(vp)
+    fa_fwd, fa_bwd = flows_fn(clip_a)
+    fb_fwd, fb_bwd = flows_fn(clip_b)
+
+    if points is None:
+        key_idx, key_pts = [0], jnp.zeros((1, 0, 2, 2), dtype)
+    elif isinstance(points, dict):
+        key_idx = sorted(int(k) for k in points)
+        key_pts = jnp.stack([jnp.asarray(points[k], dtype) for k in key_idx])
+    else:
+        key_idx, key_pts = [0], jnp.asarray(points, dtype)[None]
+    tracked = _jitted_track(t_len, tuple(key_idx), mp, vp)(
+        key_pts, fa_fwd, fa_bwd, fb_fwd, fb_bwd
+    )
+
+    vs = _jitted_frame_scan(mp, vp, (h, w))(
+        clip_a[start:], clip_b[start:],
+        jnp.asarray(v_prev, dtype),
+        tracked[start:], fa_fwd[start - 1:], fb_fwd[start - 1:],
+    )
+    return vs
