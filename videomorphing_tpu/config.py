@@ -124,7 +124,9 @@ class VideoParams:
     # optical flow (pyramid Horn-Schunck; any flow of similar quality
     # satisfies the contract — SURVEY.md s1.5)
     flow_alpha: float = 12.0         # smoothness weight (8-bit intensity units)
-    flow_iters: int = 60             # Jacobi iterations per level
+    flow_iters: int = 40             # Jacobi iterations per level (probed at
+                                     # 480p: vs 60 the morph changes by ~1e-4
+                                     # mean abs — flow is only a prior)
     flow_levels: int = 0             # 0 = auto
     flow_warps: int = 3              # warping (outer) iterations per level
     flow_clamp: float = 1.0          # max |du| (px) per warp iteration

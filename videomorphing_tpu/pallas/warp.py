@@ -362,39 +362,71 @@ def fused_sample(srcs, coords, *, interpret=None):
     interpret = _auto_interpret(interpret)
     gy, gx = _cdiv(h, TH_S), _cdiv(w, TW_S)
 
-    preps = [
-        _prep_image(
-            co[..., 0], co[..., 1], h, w, gy, gx,
-            dx_budget=DX_SAMPLE, th=TH_S, tw=TW_S,
-        )
-        for co in coords
-    ]
-    fits = preps[0][-1]
-    for p_ in preps[1:]:
-        fits = fits & p_[-1]
+    # Cheap sufficient pre-screen BEFORE the expensive per-tile prep: the
+    # per-tile residual is bounded by the clamped displacement's variation,
+    # variation <= th*max|d_y row-diff| + tw*max|d_x col-diff|. When real
+    # fields are wild (frequent at full res) this skips straight to the
+    # XLA path instead of paying ~10-20 ms of min-reductions per map only
+    # to cond them away.
+    g = grid_coords(h, w, coords[0].dtype)
 
-    def pallas_path(_):
-        call = _sample_call_cached(c_blk, nc, n_imgs, gy, gx, interpret)
-        bases = jnp.stack(
-            [p_[i] for p_ in preps for i in (6, 7, 8, 9)], axis=-1
-        ).astype(jnp.int32).reshape(gy, gx, 4 * n_imgs)
-        idxi = jnp.stack(
-            [p_[i] for p_ in preps for i in (0, 1)], 0
-        ).astype(jnp.int32)
-        idxf = jnp.stack(
-            [p_[i] for p_ in preps for i in (2, 3)], 0
-        ).astype(jnp.float32)
-        (out,) = call(bases, *[s.phases for s in srcs], idxi, idxf)
-        out = out[:, :, :h, :w]
-        return tuple(
-            jnp.moveaxis(
-                jnp.concatenate(
-                    [out[k, c_blk * im : c_blk * (im + 1)] for k in range(nc)], 0
-                ),
-                0, -1,
-            ).astype(coords[im].dtype)
-            for im in range(n_imgs)
-        )
+    def _screen(co):
+        d = jnp.stack(
+            [
+                jnp.clip(co[..., 0], 0.0, h - 1.0),
+                jnp.clip(co[..., 1], 0.0, w - 1.0),
+            ],
+            -1,
+        ) - g
+        dy_dy = jnp.max(jnp.abs(jnp.diff(d[..., 0], axis=0)))
+        dy_dx = jnp.max(jnp.abs(jnp.diff(d[..., 0], axis=1)))
+        dx_dy = jnp.max(jnp.abs(jnp.diff(d[..., 1], axis=0)))
+        dx_dx = jnp.max(jnp.abs(jnp.diff(d[..., 1], axis=1)))
+        ok_r = TH_S * dy_dy + TW_S * dy_dx <= D - 2
+        ok_c = TH_S * dx_dy + TW_S * dx_dx <= DX_SAMPLE - 2
+        return ok_r & ok_c
+
+    tame = _screen(coords[0])
+    for co in coords[1:]:
+        tame = tame & _screen(co)
+
+    def pallas_prep_path(_):
+        preps = [
+            _prep_image(
+                co[..., 0], co[..., 1], h, w, gy, gx,
+                dx_budget=DX_SAMPLE, th=TH_S, tw=TW_S,
+            )
+            for co in coords
+        ]
+        fits = preps[0][-1]
+        for p_ in preps[1:]:
+            fits = fits & p_[-1]
+
+        def kernel_path(_):
+            call = _sample_call_cached(c_blk, nc, n_imgs, gy, gx, interpret)
+            bases = jnp.stack(
+                [p_[i] for p_ in preps for i in (6, 7, 8, 9)], axis=-1
+            ).astype(jnp.int32).reshape(gy, gx, 4 * n_imgs)
+            idxi = jnp.stack(
+                [p_[i] for p_ in preps for i in (0, 1)], 0
+            ).astype(jnp.int32)
+            idxf = jnp.stack(
+                [p_[i] for p_ in preps for i in (2, 3)], 0
+            ).astype(jnp.float32)
+            (out,) = call(bases, *[s.phases for s in srcs], idxi, idxf)
+            out = out[:, :, :h, :w]
+            return tuple(
+                jnp.moveaxis(
+                    jnp.concatenate(
+                        [out[k, c_blk * im : c_blk * (im + 1)] for k in range(nc)], 0
+                    ),
+                    0, -1,
+                ).astype(coords[im].dtype)
+                for im in range(n_imgs)
+            )
+
+        # the screen is sufficient, but keep the exact check as a backstop
+        return jax.lax.cond(fits, kernel_path, xla_path, None)
 
     def xla_path(_):
         from videomorphing_tpu.ops.resample import bilinear_sample
@@ -403,7 +435,7 @@ def fused_sample(srcs, coords, *, interpret=None):
             bilinear_sample(s.img, co) for s, co in zip(srcs, coords)
         )
 
-    return list(jax.lax.cond(fits, pallas_path, xla_path, None))
+    return list(jax.lax.cond(tame, pallas_prep_path, xla_path, None))
 
 
 def _auto_interpret(interpret):
