@@ -248,10 +248,10 @@ def _ssim_stats(a0, a1, inv_n, taps, c1, c2, use_lum):
 # kernel builders
 # ----------------------------------------------------------------------------
 
-def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _sweep_geometry(p: MorphParams, h: int, w: int):
+    """Shared tile geometry of the grad + energy kernels (one static pack
+    serves both: the pack is built once per re-linearization, not per
+    call — see ``make_sweep_pack``)."""
     taps = _taps(p)
     r = (len(taps) - 1) // 2
     # stats need r, the transpose conv another r; rounded up to a multiple
@@ -259,6 +259,14 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
     halo = _round_up(2 * r, 4)
     th, tw = _tile_shape(h, w, halo)
     gy, gx = _cdiv(h, th), _cdiv(w, tw)
+    return taps, r, halo, th, tw, gy, gx
+
+
+def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    taps, r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
     npix = h * w
     lam_n = p.lambda_tps / npix
     P = 6 * C + 10
@@ -270,7 +278,7 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
     hh, ww = th + 2 * halo, tw + 2 * halo
     ow = ww if gx > 1 else tw  # output column-group width (128-aligned)
 
-    def kernel(x_hbm, g_out, part_out, xt, sem):
+    def kernel(x_hbm, v_hbm, g_out, part_out, xt, xvt, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
         cp = pltpu.make_async_copy(
@@ -278,6 +286,17 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         )
         cp.start()
         cp.wait()
+        cp2 = pltpu.make_async_copy(
+            v_hbm.at[:, pl.ds(i * th, hh), pl.ds(j * ww, ww)], xvt, sem
+        )
+        cp2.start()
+        cp2.wait()
+
+        # linearize the warps IN VMEM around the packed v_lin: the static
+        # pack stays valid for every iteration and line-search trial until
+        # the next re-warp, so XLA repacks only the 2 v planes per call
+        dvy = xvt[0] - xt[i_v]
+        dvx = xvt[1] - xt[i_v + 1]
 
         hs = halo - r  # halo level of the window statistics
         inv2 = crop(xt[i_invn], halo, hs)
@@ -294,8 +313,8 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         e_sim = jnp.float32(0.0)
 
         for c in range(C):
-            a0 = xt[i_w0 + c]
-            a1 = xt[i_w1 + c]
+            a0 = xt[i_w0 + c] - (xt[i_dw0 + 2 * c] * dvy + xt[i_dw0 + 2 * c + 1] * dvx)
+            a1 = xt[i_w1 + c] + (xt[i_dw1 + 2 * c] * dvy + xt[i_dw1 + 2 * c + 1] * dvx)
             st = _ssim_stats(a0, a1, inv2, taps, p.ssim_c1, p.ssim_c2, p.ssim_use_luminance)
 
             t1 = _wsum_tile(ar(scale * st["c_var"] * inv2), taps)
@@ -339,7 +358,7 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         e_tc = jnp.float32(0.0)
         g_yx = []
         for k in range(2):
-            V = xt[i_v + k]
+            V = xvt[k]
             gt, et_map = _tps_grad_tile(V, M, shift, crop, halo)
             v0 = crop(V, halo, 0)
             dv_ui = v0 - crop(xt[i_uiv + k], halo, 0)
@@ -377,7 +396,10 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
     call = pl.pallas_call(
         kernel,
         grid=(gy, gx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         out_specs=[
             pl.BlockSpec((4, th, ow), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -388,6 +410,7 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         ],
         scratch_shapes=[
             pltpu.VMEM((P, hh, ww), jnp.float32),
+            pltpu.VMEM((2, hh, ww), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -396,26 +419,23 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
 
 
 def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
+    """Line-search energy kernel over the SAME static pack as the grad
+    kernel (same geometry, same plane layout): per trial only the 2 v
+    planes repack, and the linearized warps are formed in VMEM."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    taps = _taps(p)
-    r = (len(taps) - 1) // 2
-    # stats need r, the TPS maps need 2; rounded up to a multiple of 4 so the
-    # DMA'd row count th + 2*halo stays 8-aligned (HBM tiling constraint)
-    halo = _round_up(max(r, 2), 4)
-    th, tw = _tile_shape(h, w, halo)
-    gy, gx = _cdiv(h, th), _cdiv(w, tw)
+    taps, r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
     npix = h * w
-    P = 2 * C + 10
-    i_w0, i_w1 = 0, C
+    P = 6 * C + 10
+    i_w0, i_w1, i_dw0, i_dw1 = 0, C, 2 * C, 4 * C
     i_v, i_uiw, i_uiv, i_tcw, i_tcv, i_invn, i_mask = (
-        2 * C, 2 * C + 2, 2 * C + 3, 2 * C + 5, 2 * C + 6, 2 * C + 8, 2 * C + 9
+        6 * C, 6 * C + 2, 6 * C + 3, 6 * C + 5, 6 * C + 6, 6 * C + 8, 6 * C + 9
     )
     shift, crop = _mk_slicers(th, tw)
     hh, ww = th + 2 * halo, tw + 2 * halo
 
-    def kernel(x_hbm, part_out, xt, sem):
+    def kernel(x_hbm, v_hbm, part_out, xt, xvt, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
         cp = pltpu.make_async_copy(
@@ -423,14 +443,24 @@ def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         )
         cp.start()
         cp.wait()
+        cp2 = pltpu.make_async_copy(
+            v_hbm.at[:, pl.ds(i * th, hh), pl.ds(j * ww, ww)], xvt, sem
+        )
+        cp2.start()
+        cp2.wait()
+
+        dvy = xvt[0] - xt[i_v]
+        dvx = xvt[1] - xt[i_v + 1]
 
         inv0 = crop(xt[i_invn], halo, halo - r)  # stats: halo -> halo - r
         m0 = crop(xt[i_mask], halo, 0)
 
         e_sim = jnp.float32(0.0)
         for c in range(C):
+            a0 = xt[i_w0 + c] - (xt[i_dw0 + 2 * c] * dvy + xt[i_dw0 + 2 * c + 1] * dvx)
+            a1 = xt[i_w1 + c] + (xt[i_dw1 + 2 * c] * dvy + xt[i_dw1 + 2 * c + 1] * dvx)
             st = _ssim_stats(
-                xt[i_w0 + c], xt[i_w1 + c], inv0, taps,
+                a0, a1, inv0, taps,
                 p.ssim_c1, p.ssim_c2, p.ssim_use_luminance,
             )
             e_sim += jnp.sum((1.0 - crop(st["s"], halo - r, 0)) * m0)
@@ -442,7 +472,7 @@ def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         e_ui = jnp.float32(0.0)
         e_tc = jnp.float32(0.0)
         for k in range(2):
-            V = xt[i_v + k]
+            V = xvt[k]
             vxx, vyy, vxy = _tps_maps_tile(V, M, shift, crop, halo, 0)
             et_map = vxx * vxx + 2.0 * vxy * vxy + vyy * vyy
             v0 = crop(V, halo, 0)
@@ -465,13 +495,17 @@ def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
     call = pl.pallas_call(
         kernel,
         grid=(gy, gx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         out_specs=[
             pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((1, 4), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((P, hh, ww), jnp.float32),
+            pltpu.VMEM((2, hh, ww), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -502,36 +536,78 @@ def _common_planes(v, data: LevelData):
     ]
 
 
-def fused_value_grad_precond_planes(
-    w0, dw0, w1, dw1, v, data: LevelData, p: MorphParams, *, interpret=None
-):
-    """Fused (energy, grad, precond) from precomputed warp planes.
+def make_sweep_pack(
+    w0, dw0, w1, dw1, v_lin, data: LevelData, p: MorphParams
+) -> jnp.ndarray:
+    """Build the STATIC packed plane stack shared by both sweep kernels.
 
-    ``w0/w1``: (H, W, C) warped (or linearized) images; ``dw0/dw1``:
-    (H, W, C, 2) interpolant derivatives at the linearization point. This is
-    the entry the solver's warping scheme uses: inner iterations pass
-    linearized planes, so no gather runs between re-warps (config
-    ``relin_every``). jnp twin: ``solver.descent.value_grad_precond_planes``.
+    Packed once per re-linearization (``relin_every``): the warp planes,
+    their derivatives, the linearization point and the constant data
+    planes. Every grad/energy call until the next re-warp reuses it and
+    repacks only the 2 current-``v`` planes (``pack_v``) — the XLA-side
+    pack used to cost ~7 ms/iteration at 1080p, ~half the iteration.
     """
     h, w, C = data.i0.shape
-    interpret = _auto_interpret(interpret)
-    call, (gy, gx, th, tw, ow, halo, _P) = _grad_call_cached(C, h, w, p, interpret)
-
+    _taps_, _r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
     planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
     for src in (dw0, dw1):
         for c in range(C):
             planes += [src[..., c, 0], src[..., c, 1]]
-    planes += _common_planes(v, data)
-    planes += [_invn_plane(h, w, p, v.dtype), jnp.ones((h, w), v.dtype)]
-    x = _pack([pl_.astype(jnp.float32) for pl_ in planes], gy, gx, th, tw, halo)
+    planes += _common_planes(v_lin, data)
+    planes += [_invn_plane(h, w, p, v_lin.dtype), jnp.ones((h, w), v_lin.dtype)]
+    return _pack([pl_.astype(jnp.float32) for pl_ in planes], gy, gx, th, tw, halo)
 
-    out, parts = call(x)
+
+def pack_v(v: jnp.ndarray, p: MorphParams) -> jnp.ndarray:
+    """Pack just the (H, W, 2) field with the sweep geometry (per call)."""
+    h, w = v.shape[0], v.shape[1]
+    _taps_, _r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
+    return _pack(
+        [v[..., 0].astype(jnp.float32), v[..., 1].astype(jnp.float32)],
+        gy, gx, th, tw, halo,
+    )
+
+
+def fused_value_grad_precond_pack(
+    x_static, v, hw, C: int, p: MorphParams, *, interpret=None
+):
+    """(energy, grad, precond) at ``v`` from a prebuilt static pack."""
+    h, w = hw
+    interpret = _auto_interpret(interpret)
+    call, (gy, gx, th, tw, ow, halo, _P) = _grad_call_cached(C, h, w, p, interpret)
+    xv = pack_v(v, p)
+    out, parts = call(x_static, xv)
     if gx > 1:
         out = out.reshape(4, gy * th, gx, ow)[..., :tw].reshape(4, gy * th, gx * tw)
     grad = jnp.moveaxis(out[:2, :h, :w], 0, -1).astype(v.dtype)
     precond = jnp.moveaxis(out[2:4, :h, :w], 0, -1).astype(v.dtype)
     energy = _combine_parts(parts, p, h * w, C).astype(v.dtype)
     return energy, grad, precond
+
+
+def fused_total_energy_pack(x_static, v, hw, C: int, p: MorphParams, *, interpret=None):
+    """Total energy at ``v`` from a prebuilt static pack (line search)."""
+    h, w = hw
+    interpret = _auto_interpret(interpret)
+    call, _geom = _energy_call_cached(C, h, w, p, interpret)
+    (parts,) = call(x_static, pack_v(v, p))
+    return _combine_parts(parts, p, h * w, C).astype(v.dtype)
+
+
+def fused_value_grad_precond_planes(
+    w0, dw0, w1, dw1, v, data: LevelData, p: MorphParams, *, interpret=None
+):
+    """Fused (energy, grad, precond) from precomputed warp planes.
+
+    ``w0/w1``: (H, W, C) warped (or linearized) images; ``dw0/dw1``:
+    (H, W, C, 2) interpolant derivatives at the linearization point.
+    Compatibility wrapper over the pack-based path with ``v_lin = v``
+    (zero in-kernel correction — planes are used exactly as given).
+    jnp twin: ``solver.descent.value_grad_precond_planes``.
+    """
+    h, w, C = data.i0.shape
+    x = make_sweep_pack(w0, dw0, w1, dw1, v, data, p)
+    return fused_value_grad_precond_pack(x, v, (h, w), C, p, interpret=interpret)
 
 
 def fused_value_grad_precond(v, data: LevelData, p: MorphParams, *, interpret=None):
@@ -551,19 +627,15 @@ def fused_value_grad_precond(v, data: LevelData, p: MorphParams, *, interpret=No
 def fused_total_energy_planes(w0, w1, v, data: LevelData, p: MorphParams, *, interpret=None):
     """Fused total energy from precomputed (or linearized) warp planes.
 
-    jnp twin: ``solver.descent.total_energy_planes``.
+    Compatibility wrapper: the energy kernel reads the grad-layout static
+    pack, so the missing derivative planes are zeros and ``v_lin = v``
+    (zero in-kernel correction). jnp twin:
+    ``solver.descent.total_energy_planes``.
     """
     h, w, C = data.i0.shape
-    interpret = _auto_interpret(interpret)
-    call, (gy, gx, th, tw, halo, _P) = _energy_call_cached(C, h, w, p, interpret)
-
-    planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
-    planes += _common_planes(v, data)
-    planes += [_invn_plane(h, w, p, v.dtype), jnp.ones((h, w), v.dtype)]
-    x = _pack([pl_.astype(jnp.float32) for pl_ in planes], gy, gx, th, tw, halo)
-
-    (parts,) = call(x)
-    return _combine_parts(parts, p, h * w, C).astype(v.dtype)
+    zd = jnp.zeros((h, w, C, 2), v.dtype)
+    x = make_sweep_pack(w0, zd, w1, zd, v, data, p)
+    return fused_total_energy_pack(x, v, (h, w), C, p, interpret=interpret)
 
 
 def fused_total_energy(v, data: LevelData, p: MorphParams, *, interpret=None):

@@ -327,18 +327,8 @@ def make_level_solver(p: MorphParams, n_iters: int):
 
     def solve(v: jnp.ndarray, data: LevelData):
         h, w = v.shape[0], v.shape[1]
+        C = data.i0.shape[-1]
         use_pallas = _resolve_backend(p, h, w)
-        if use_pallas:
-            from videomorphing_tpu.pallas.sweep import (
-                fused_total_energy_planes,
-                fused_value_grad_precond_planes,
-            )
-
-            grad_fn = fused_value_grad_precond_planes
-            energy_fn = fused_total_energy_planes
-        else:
-            grad_fn = value_grad_precond_planes
-            energy_fn = total_energy_planes
 
         bmask = boundary_mask(h, w, v.dtype)
         hist0 = jnp.full((n_iters,), jnp.nan, v.dtype)
@@ -350,23 +340,51 @@ def make_level_solver(p: MorphParams, n_iters: int):
             rewarp = lambda v_: warp_bundle_fused(v_, src0, src1)
         else:
             rewarp = lambda v_: warp_bundle(v_, data)
-        wb0 = rewarp(v)
-        e0 = energy_fn(wb0.w0, wb0.w1, v, data, p)
+
+        # state = everything derived from the linearization point. Pallas:
+        # ONE static packed plane stack per re-warp (both kernels read it;
+        # per call only the 2 v planes repack — the XLA-side pack used to
+        # cost ~half of each 1080p iteration). jnp oracle: the WarpBundle.
+        if use_pallas:
+            from videomorphing_tpu.pallas.sweep import (
+                fused_total_energy_pack,
+                fused_value_grad_precond_pack,
+                make_sweep_pack,
+            )
+
+            def make_state(v_):
+                wb = rewarp(v_)
+                return make_sweep_pack(wb.w0, wb.dw0, wb.w1, wb.dw1, wb.v_lin, data, p)
+
+            grad_eval = lambda st_, v_: fused_value_grad_precond_pack(st_, v_, (h, w), C, p)
+            energy_eval = lambda st_, v_: fused_total_energy_pack(st_, v_, (h, w), C, p)
+        else:
+            make_state = rewarp
+
+            def grad_eval(wb_, v_):
+                w0e, w1e = linearized_warps(wb_, v_)
+                return value_grad_precond_planes(w0e, wb_.dw0, w1e, wb_.dw1, v_, data, p)
+
+            def energy_eval(wb_, v_):
+                w0e, w1e = linearized_warps(wb_, v_)
+                return total_energy_planes(w0e, w1e, v_, data, p)
+
+        st0 = make_state(v)
+        e0 = energy_eval(st0, v)
         relin = max(int(p.relin_every), 1)
 
         def cond(state):
-            v_, _wb, step_, e_, stall_, it_, _hist = state
+            v_, _st, step_, e_, stall_, it_, _hist = state
             return (it_ < n_iters) & (stall_ <= p.n_colors) & (step_ > p.min_step)
 
         def body(state):
-            v_, wb_, step_, e_, stall_, it_, hist = state
-            wb_ = jax.lax.cond(
+            v_, st_, step_, e_, stall_, it_, hist = state
+            st_ = jax.lax.cond(
                 (it_ % relin == 0) & (it_ > 0),
-                lambda: rewarp(v_),
-                lambda: wb_,
+                lambda: make_state(v_),
+                lambda: st_,
             )
-            w0e, w1e = linearized_warps(wb_, v_)
-            e_cur, grad, precond = grad_fn(w0e, wb_.dw0, w1e, wb_.dw1, v_, data, p)
+            e_cur, grad, precond = grad_eval(st_, v_)
 
             cmask = color_mask(h, w, it_ % p.n_colors, p.n_colors, v_.dtype)
             d = (-grad / precond) * cmask * bmask
@@ -374,9 +392,7 @@ def make_level_solver(p: MorphParams, n_iters: int):
             gd = jnp.sum(grad * d)  # directional derivative (<= 0)
 
             def try_energy(alpha):
-                vt = v_ + alpha * d
-                w0t, w1t = linearized_warps(wb_, vt)
-                return energy_fn(w0t, w1t, vt, data, p)
+                return energy_eval(st_, v_ + alpha * d)
 
             def ls_cond(ls):
                 alpha, e_try, tries = ls
@@ -403,13 +419,13 @@ def make_level_solver(p: MorphParams, n_iters: int):
             rel_dec = (e_cur - e_new) / jnp.maximum(jnp.abs(e_cur), 1e-12)
             stall_new = jnp.where(rel_dec < p.tol, stall_ + 1, 0)
             hist = hist.at[it_].set(e_new)
-            return v_new, wb_, step_new, e_new, stall_new, it_ + 1, hist
+            return v_new, st_, step_new, e_new, stall_new, it_ + 1, hist
 
         state0 = (
-            v, wb0, jnp.asarray(p.init_step, v.dtype), e0,
+            v, st0, jnp.asarray(p.init_step, v.dtype), e0,
             jnp.int32(0), jnp.int32(0), hist0,
         )
-        v_f, _wb, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(cond, body, state0)
+        v_f, _st, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(cond, body, state0)
         return v_f, LevelStats(e0=e0, e_final=e_f, iters=it_f, step=step_f, energy_history=hist_f)
 
     return solve
