@@ -43,7 +43,9 @@ class MorphParams:
     n_levels: int = 0             # 0 = auto: down to min(H,W) ~ min_level_size
     min_level_size: int = 32
     iters_coarse: int = 200       # iterations at the coarsest level
-    iters_fine: int = 50          # iterations at the finest level (geometric in between)
+    iters_fine: int = 30          # iterations at the finest level (geometric in
+                                  # between; probed at 480p: vs 50 the morph
+                                  # changes by ~1e-4 mean abs)
     tol: float = 1e-7             # early stop: relative energy decrease per iter
 
     # --- descent / line search (SURVEY.md s1.3) ---------------------------
