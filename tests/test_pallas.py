@@ -257,3 +257,21 @@ def test_fused_sample_c4_channel_blocks():
     s0, s1 = fused_sample([i0c, i1c], [g - v, g + v], interpret=True)
     assert _rel(bilinear_sample(i0c, g - v), s0) < 1e-5
     assert _rel(bilinear_sample(i1c, g + v), s1) < 1e-5
+
+
+def test_fused_warp_planes_layout():
+    """fused_warp_planes == fused_warp_pair reshaped to plane order."""
+    from videomorphing_tpu.pallas.warp import fused_warp_pair, fused_warp_planes
+
+    h, w = 48, 64
+    i0, i1, v = _warp_case(h, w, "smooth")
+    w0, dw0, w1, dw1 = fused_warp_pair(i0, i1, v, interpret=True)
+    planes = np.asarray(fused_warp_planes(i0, i1, v, interpret=True))
+    C = 3
+    for c in range(C):
+        np.testing.assert_array_equal(planes[c], np.asarray(w0[..., c]))
+        np.testing.assert_array_equal(planes[C + c], np.asarray(w1[..., c]))
+        np.testing.assert_array_equal(planes[2 * C + 2 * c], np.asarray(dw0[..., c, 0]))
+        np.testing.assert_array_equal(planes[2 * C + 2 * c + 1], np.asarray(dw0[..., c, 1]))
+        np.testing.assert_array_equal(planes[4 * C + 2 * c], np.asarray(dw1[..., c, 0]))
+        np.testing.assert_array_equal(planes[4 * C + 2 * c + 1], np.asarray(dw1[..., c, 1]))

@@ -558,6 +558,21 @@ def make_sweep_pack(
     return _pack([pl_.astype(jnp.float32) for pl_ in planes], gy, gx, th, tw, halo)
 
 
+def make_sweep_pack_planes(
+    warp_planes: jnp.ndarray, v_lin, data: LevelData, p: MorphParams
+) -> jnp.ndarray:
+    """:func:`make_sweep_pack` from a raw (6C, H, W) warp plane stack
+    (``pallas.warp.fused_warp_planes`` emits exactly this layout) — skips
+    the channel-major round trip of the bundle API."""
+    h, w = v_lin.shape[0], v_lin.shape[1]
+    _taps_, _r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
+    common = _common_planes(v_lin, data) + [
+        _invn_plane(h, w, p, v_lin.dtype), jnp.ones((h, w), v_lin.dtype)
+    ]
+    planes = [warp_planes[k] for k in range(warp_planes.shape[0])] + common
+    return _pack([pl_.astype(jnp.float32) for pl_ in planes], gy, gx, th, tw, halo)
+
+
 def pack_v(v: jnp.ndarray, p: MorphParams) -> jnp.ndarray:
     """Pack just the (H, W, 2) field with the sweep geometry (per call)."""
     h, w = v.shape[0], v.shape[1]

@@ -341,6 +341,55 @@ def _build_sample_call(
 _sample_call_cached = functools.lru_cache(maxsize=None)(_build_sample_call)
 
 
+def fused_warp_planes(src0, src1, v, *, interpret=None) -> jnp.ndarray:
+    """Both halfway warps + derivatives as a RAW plane stack (6C, H, W).
+
+    Plane order matches ``sweep.make_sweep_pack``'s layout exactly —
+    w0 (C), w1 (C), dw0 (y,x per channel), dw1 — so the solver's
+    re-linearization feeds the kernel output STRAIGHT into the static pack
+    with no channel-major round trip (the (H, W, C, 2) moveaxis pair cost
+    several ms per re-warp at 1080p).
+    """
+    if not isinstance(src0, WarpSource):
+        src0 = make_warp_source(src0)
+    if not isinstance(src1, WarpSource):
+        src1 = make_warp_source(src1)
+    i0, i1 = src0.img, src1.img
+    h, w, C = i0.shape
+    interpret = _auto_interpret(interpret)
+    gy, gx = _cdiv(h, TH), _cdiv(w, TW)
+    g = grid_coords(h, w, v.dtype)
+
+    c0 = g - v
+    c1 = g + v
+    p0 = _prep_image(c0[..., 0], c0[..., 1], h, w, gy, gx)
+    p1 = _prep_image(c1[..., 0], c1[..., 1], h, w, gy, gx)
+    fits = p0[-1] & p1[-1]
+
+    def pallas_path(_):
+        call = _warp_call_cached(C, gy, gx, interpret)
+        bases = jnp.stack(
+            [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
+        ).astype(jnp.int32)
+        idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
+        idxf = jnp.stack(
+            [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
+        ).astype(jnp.float32)
+        (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
+        return out[:, :h, :w].astype(v.dtype)
+
+    def xla_path(_):
+        w0, dw0 = bilinear_sample_with_grad(i0, c0)
+        w1, dw1 = bilinear_sample_with_grad(i1, c1)
+        planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
+        for src in (dw0, dw1):
+            for c in range(C):
+                planes += [src[..., c, 0], src[..., c, 1]]
+        return jnp.stack(planes, 0)
+
+    return jax.lax.cond(fits, pallas_path, xla_path, None)
+
+
 def fused_sample(srcs, coords, *, interpret=None):
     """Bilinearly sample each image at its own smooth coordinate map.
 

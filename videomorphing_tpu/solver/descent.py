@@ -350,11 +350,19 @@ def make_level_solver(p: MorphParams, n_iters: int):
                 fused_total_energy_pack,
                 fused_value_grad_precond_pack,
                 make_sweep_pack,
+                make_sweep_pack_planes,
             )
 
-            def make_state(v_):
-                wb = rewarp(v_)
-                return make_sweep_pack(wb.w0, wb.dw0, wb.w1, wb.dw1, wb.v_lin, data, p)
+            if p.fused_warp:
+                from videomorphing_tpu.pallas.warp import fused_warp_planes
+
+                def make_state(v_):
+                    planes = fused_warp_planes(src0, src1, v_)
+                    return make_sweep_pack_planes(planes, v_, data, p)
+            else:
+                def make_state(v_):
+                    wb = rewarp(v_)
+                    return make_sweep_pack(wb.w0, wb.dw0, wb.w1, wb.dw1, wb.v_lin, data, p)
 
             grad_eval = lambda st_, v_: fused_value_grad_precond_pack(st_, v_, (h, w), C, p)
             energy_eval = lambda st_, v_: fused_total_energy_pack(st_, v_, (h, w), C, p)
