@@ -154,3 +154,13 @@ class TestPoisson:
         weight = jnp.ones((16, 16))
         out = pull_push_extend(img, weight)
         np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_traced_dct_basis_matches_f64_reference():
+    """The on-device exact-integer-phase DCT basis == the f64 numpy one."""
+    from videomorphing_tpu.ops.poisson import _dct_mat, _dct_mat_np
+
+    for n in [7, 64, 480, 1080]:
+        ref = _dct_mat_np(n)
+        got = np.asarray(_dct_mat(n, jnp.float32))
+        assert np.abs(got - ref).max() < 3e-7, n

@@ -30,7 +30,10 @@ from videomorphing_tpu.ops.pyramid import downsample_2x, upsample_2x
 
 @functools.lru_cache(maxsize=64)
 def _dct_mat_np(n: int) -> np.ndarray:
-    """Orthonormal DCT-II basis: C[k, m] = s_k sqrt(2/n) cos(pi (m+.5) k / n)."""
+    """Orthonormal DCT-II basis: C[k, m] = s_k sqrt(2/n) cos(pi (m+.5) k / n).
+
+    numpy/f64 reference (tests); the traced path uses :func:`_dct_mat`.
+    """
     k = np.arange(n, dtype=np.float64)[:, None]
     m = np.arange(n, dtype=np.float64)[None, :]
     c = np.cos(np.pi * (m + 0.5) * k / n) * np.sqrt(2.0 / n)
@@ -38,8 +41,27 @@ def _dct_mat_np(n: int) -> np.ndarray:
     return c.astype(np.float32)
 
 
+def _dct_mat(n: int, dtype) -> jnp.ndarray:
+    """The DCT-II basis computed ON DEVICE at trace time.
+
+    Baking the basis as a numpy literal embeds n^2 floats into the
+    program — at 4K that is ~78 MB of MLIR constants, which the remote
+    compile service rejects. Instead the angle is built from the EXACT
+    integer phase ``(2m+1) k mod 4n`` (int32, exact for any practical n),
+    so the f32 cosine sees only arguments < 2*pi and matches the f64
+    reference to ~1e-7 at any size.
+    """
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    r = ((2 * m + 1) * k) % (4 * n)
+    ang = (np.float32(np.pi) / np.float32(2 * n)) * r.astype(jnp.float32)
+    c = jnp.cos(ang) * np.float32(np.sqrt(2.0 / n))
+    c = jnp.where(k == 0, c * np.float32(np.sqrt(0.5)), c)
+    return c.astype(dtype)
+
+
 def _dct_apply(x: jnp.ndarray, axis: int, inverse: bool) -> jnp.ndarray:
-    c = jnp.asarray(_dct_mat_np(x.shape[axis])).astype(x.dtype)
+    c = _dct_mat(x.shape[axis], x.dtype)
     mat = c.T if inverse else c
     y = jnp.tensordot(mat, x, axes=([1], [axis]), precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(y, 0, axis)

@@ -81,6 +81,13 @@ def _solve_one(i0, i1, points, mp: MorphParams, shapes) -> jnp.ndarray:
     return v
 
 
+# above this pixel count the fully-unrolled one-jit batch step emits a
+# program too large for the compile service (a 4K step produced a 78 MB
+# MLIR module and an HTTP 500 from the remote compiler) — stage through
+# per-level jits instead
+MONOLITHIC_MAX_PIXELS = 3_000_000
+
+
 @functools.lru_cache(maxsize=None)
 def make_batch_step(
     mp: MorphParams,
@@ -90,7 +97,7 @@ def make_batch_step(
     n_out: int = 1,
     axis: str = "batch",
 ):
-    """Jitted sharded batch step: (B pairs) -> (B, n_out frames).
+    """Sharded batch step: (B pairs) -> (B, n_out frames).
 
     Signature of the returned function::
 
@@ -102,8 +109,13 @@ def make_batch_step(
 
     ``n_out=1`` is the clip-batch mode (each pair contributes one output
     frame at its transition time); manifest jobs use ``n_out=n_frames``.
+    Up to ~1080p everything traces into ONE jit (one dispatch per block);
+    at 4K the program splits into per-level jits (see
+    ``MONOLITHIC_MAX_PIXELS``) — a few extra dispatches, same math.
     """
     h, w = hw
+    if h * w > MONOLITHIC_MAX_PIXELS:
+        return _make_batch_step_staged(mp, sp, mesh, hw, n_out, axis)
     n_levels = mp.n_levels or auto_n_levels(h, w, mp.min_level_size)
     shapes = pyramid_shapes(h, w, n_levels)
 
@@ -114,13 +126,49 @@ def make_batch_step(
         # (same reasoning as video.pipeline._jitted_video_render)
         return jax.lax.map(lambda t: render_frame(i0, i1, v, b, t, sp), ts)
 
-    shard = NamedSharding(mesh, P(axis))
+    # shard_map + per-device lax.map, NOT vmap: vmapping turns every
+    # lax.cond into a both-branches select, which runs the Pallas fast
+    # paths AND their XLA fallbacks (measured ~10x at 4K)
+    from jax.experimental.shard_map import shard_map
 
+    local = lambda *arrs: jax.lax.map(lambda a: one_pair(*a), arrs)
     step = jax.jit(
-        jax.vmap(one_pair),
-        in_shardings=(shard, shard, shard, shard),
-        out_shardings=shard,
+        shard_map(
+            local, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis), check_rep=False,
+        )
     )
+    return step
+
+
+def _make_batch_step_staged(
+    mp: MorphParams,
+    sp: SynthParams,
+    mesh: Mesh,
+    hw: Tuple[int, int],
+    n_out: int,
+    axis: str,
+):
+    from jax.experimental.shard_map import shard_map
+
+    from videomorphing_tpu.parallel.frames import optimize_pairs_batched
+
+    def one(i0, i1, v, t_row):
+        b = bulge_field(v, sp) if sp.quadratic_paths else jnp.zeros_like(v)
+        return jax.lax.map(lambda t: render_frame(i0, i1, v, b, t, sp), t_row)
+
+    local = lambda *arrs: jax.lax.map(lambda a: one(*a), arrs)
+    synth_j = jax.jit(
+        shard_map(
+            local, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis), check_rep=False,
+        )
+    )
+
+    def step(i0s, i1s, points, ts):
+        vs = optimize_pairs_batched(i0s, i1s, mesh, mp, points, axis)
+        return synth_j(i0s, i1s, vs, ts)
+
     return step
 
 

@@ -81,26 +81,43 @@ def optimize_pairs_batched(
 ) -> jnp.ndarray:
     """Coarse-to-fine solve for a BATCH of pairs (B, H, W, C), B sharded.
 
-    The per-level solver vmaps cleanly (its while_loop keeps per-sample
-    early-stop via masking); levels stay a Python loop as in the unbatched
-    driver. This is the optimizer half of BASELINE.json config 5.
+    Batching is ``shard_map`` over the mesh with a sequential ``lax.map``
+    over each device's local pairs — NOT ``vmap``: vmapping turns every
+    internal ``lax.cond`` into a both-branches select, which on TPU runs
+    the Pallas kernels AND their XLA fallbacks (a 4K pair took ~10x longer
+    vmapped). Per-device sequential is the right shape anyway: pairs are
+    the DP axis, devices the parallelism. The whole pyramid runs in ONE
+    jitted shard_map (the levels unroll inside), so a block is one
+    dispatch. This is the optimizer half of BASELINE.json config 5.
     """
+    from jax.experimental.shard_map import shard_map
+
     bsz, h, w = i0s.shape[0], i0s.shape[1], i0s.shape[2]
     dtype = i0s.dtype
     n_levels = params.n_levels or auto_n_levels(h, w, params.min_level_size)
     shapes = pyramid_shapes(h, w, n_levels)
+    n_dev = mesh.shape[axis]
+    assert bsz % n_dev == 0, f"batch {bsz} must divide over {n_dev} devices"
 
     if points is None:
         points = jnp.zeros((bsz, 0, 2, 2), dtype)
 
     shard = NamedSharding(mesh, P(axis))
 
-    # build pyramids batched (vmapped, sharded)
-    pyr0 = [i0s]
-    pyr1 = [i1s]
+    def _sharded_map(fn):
+        """One jitted program: shard over ``axis``, lax.map local pairs."""
+        local = lambda *arrs: jax.lax.map(lambda a: fn(*a), arrs)
+        sm = shard_map(
+            local, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis), check_rep=False,
+        )
+        return jax.jit(sm)
+
+    # pyramids: no conds inside, but keep the same execution shape
     from videomorphing_tpu.ops.pyramid import downsample_2x
 
-    down = jax.jit(jax.vmap(downsample_2x), in_shardings=shard, out_shardings=shard)
+    down = _sharded_map(downsample_2x)
+    pyr0, pyr1 = [i0s], [i1s]
     for _ in range(n_levels - 1):
         pyr0.append(down(pyr0[-1]))
         pyr1.append(down(pyr1[-1]))
@@ -108,8 +125,7 @@ def optimize_pairs_batched(
     v = jnp.zeros((bsz,) + shapes[-1] + (2,), dtype)
     for level in range(n_levels - 1, -1, -1):
         lh, lw = shapes[level]
-        n_iters = params.iters_for_level(level, n_levels)
-        solve = make_level_solver(params, n_iters)
+        solve = make_level_solver(params, params.iters_for_level(level, n_levels))
 
         def level_fn(v_, a_, b_, pts_):
             lpts = scale_points(pts_, (h, w), (lh, lw))
@@ -118,17 +134,7 @@ def optimize_pairs_batched(
             v_out, _ = solve(v_, data)
             return v_out
 
-        batched = jax.jit(
-            jax.vmap(level_fn),
-            in_shardings=(shard, shard, shard, shard),
-            out_shardings=shard,
-        )
-        v = batched(v, pyr0[level], pyr1[level], points)
+        v = _sharded_map(level_fn)(v, pyr0[level], pyr1[level], points)
         if level > 0:
-            up = jax.jit(
-                jax.vmap(lambda f: upsample_field_2x(f, shapes[level - 1])),
-                in_shardings=shard,
-                out_shardings=shard,
-            )
-            v = up(v)
+            v = _sharded_map(lambda f: upsample_field_2x(f, shapes[level - 1]))(v)
     return v

@@ -33,9 +33,14 @@ from videomorphing_tpu.config import SynthParams
 from videomorphing_tpu.ops.poisson import screened_poisson_dct
 
 
-def _field_jacobian(v: jnp.ndarray) -> jnp.ndarray:
-    """Central-difference Jacobian Dv, (H, W, 2, 2): Dv[i, j] = d v_i / d x_j
-    with axis order (y, x)."""
+def _field_jacobian_planes(v: jnp.ndarray):
+    """Central-difference Jacobian entries of v as four (H, W) planes:
+    (dvy/dy, dvy/dx, dvx/dy, dvx/dx), axis order (y, x).
+
+    Planes, NOT an (H, W, 2, 2) tensor: trailing length-2 axes land in the
+    minor tiling dims on TPU and pad 64x (a 4K morph hit a 7.9 GB HLO temp
+    for a 127 MB logical array).
+    """
     def cdiff(f, axis):
         g = (jnp.roll(f, -1, axis) - jnp.roll(f, 1, axis)) * 0.5
         if axis == 0:
@@ -44,13 +49,10 @@ def _field_jacobian(v: jnp.ndarray) -> jnp.ndarray:
             g = g.at[:, 0].set(f[:, 1] - f[:, 0]).at[:, -1].set(f[:, -1] - f[:, -2])
         return g
 
-    dvy_dy = cdiff(v[..., 0], 0)
-    dvy_dx = cdiff(v[..., 0], 1)
-    dvx_dy = cdiff(v[..., 1], 0)
-    dvx_dx = cdiff(v[..., 1], 1)
-    row0 = jnp.stack([dvy_dy, dvy_dx], axis=-1)
-    row1 = jnp.stack([dvx_dy, dvx_dx], axis=-1)
-    return jnp.stack([row0, row1], axis=-2)
+    return (
+        cdiff(v[..., 0], 0), cdiff(v[..., 0], 1),
+        cdiff(v[..., 1], 0), cdiff(v[..., 1], 1),
+    )
 
 
 def rotation_angle_map(v: jnp.ndarray) -> jnp.ndarray:
@@ -58,25 +60,21 @@ def rotation_angle_map(v: jnp.ndarray) -> jnp.ndarray:
 
     J = (I + Dv)(I - Dv)^{-1}; theta = atan2(J10 - J01, J00 + J11), the polar
     decomposition angle (exact for similarity maps, least-squares otherwise).
+    All 2x2 algebra is unrolled onto (H, W) planes (see
+    :func:`_field_jacobian_planes` for why).
     """
-    dv = _field_jacobian(v)
-    eye = jnp.eye(2, dtype=v.dtype)
-    a = eye + dv
-    b = eye - dv
-    det_b = b[..., 0, 0] * b[..., 1, 1] - b[..., 0, 1] * b[..., 1, 0]
+    p00, p01, p10, p11 = _field_jacobian_planes(v)
+    one = jnp.ones_like(p00)
+    a00, a01, a10, a11 = one + p00, p01, p10, one + p11
+    b00, b01, b10, b11 = one - p00, -p01, -p10, one - p11
+    det_b = b00 * b11 - b01 * b10
     det_b = jnp.where(jnp.abs(det_b) < 1e-6, 1e-6, det_b)
-    binv = (
-        jnp.stack(
-            [
-                jnp.stack([b[..., 1, 1], -b[..., 0, 1]], -1),
-                jnp.stack([-b[..., 1, 0], b[..., 0, 0]], -1),
-            ],
-            -2,
-        )
-        / det_b[..., None, None]
-    )
-    j = jnp.einsum("...ik,...kj->...ij", a, binv)
-    return jnp.arctan2(j[..., 1, 0] - j[..., 0, 1], j[..., 0, 0] + j[..., 1, 1])
+    # J = a @ adj(b) / det(b); only J10 - J01 and J00 + J11 are needed
+    j00 = (a00 * b11 - a01 * b10) / det_b
+    j01 = (-a00 * b01 + a01 * b00) / det_b
+    j10 = (a10 * b11 - a11 * b10) / det_b
+    j11 = (-a10 * b01 + a11 * b00) / det_b
+    return jnp.arctan2(j10 - j01, j00 + j11)
 
 
 def bulge_field(v: jnp.ndarray, sp: SynthParams = SynthParams()) -> jnp.ndarray:
