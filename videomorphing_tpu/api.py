@@ -52,10 +52,16 @@ def morph_clips(
     sp: SynthParams = SynthParams(),
     vp: VideoParams = VideoParams(),
     render: bool = True,
+    mesh=None,
 ) -> VideoResult:
-    """Morph a clip pair: (T, H, W, C) x2 -> VideoResult with (T, H, W, C)."""
+    """Morph a clip pair: (T, H, W, C) x2 -> VideoResult with (T, H, W, C).
+
+    ``mesh``: optional 1-D device mesh — frame BLOCKS solve in parallel
+    across it (one cold head per block, warm scan within; config 4).
+    """
     return VideoMorpher(mp, sp, vp)(
-        _dev(clip_a), _dev(clip_b), _pts(points), times=times, render=render
+        _dev(clip_a), _dev(clip_b), _pts(points), times=times, render=render,
+        mesh=mesh,
     )
 
 

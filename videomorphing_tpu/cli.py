@@ -167,7 +167,15 @@ def cmd_video(args) -> int:
             res = render_video(api._dev(clip_a), api._dev(clip_b), fields, sp=sp, vp=vp)
             m.emit("resume", skipped_frames=done_n)
         else:
-            res = api.morph_clips(clip_a, clip_b, points, mp=mp, sp=sp, vp=vp)
+            import jax
+
+            mesh = None
+            if len(jax.devices()) > 1 and t_len % len(jax.devices()) == 0:
+                # frame blocks across devices (config 4)
+                from videomorphing_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh()
+            res = api.morph_clips(clip_a, clip_b, points, mp=mp, sp=sp, vp=vp, mesh=mesh)
         res.frames.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -34,8 +34,9 @@ class VideoMorpher:
         points: Optional[jnp.ndarray] = None,
         times: Optional[jnp.ndarray] = None,
         render: bool = True,
+        mesh=None,
     ) -> VideoResult:
         return morph_video(
             clip_a, clip_b, points=points, times=times,
-            mp=self.mp, sp=self.sp, vp=self.vp, render=render,
+            mp=self.mp, sp=self.sp, vp=self.vp, render=render, mesh=mesh,
         )

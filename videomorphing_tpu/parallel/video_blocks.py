@@ -1,0 +1,149 @@
+"""Block-parallel video solve: frame blocks across devices (config 4).
+
+The per-clip temporal scan is sequential by construction (each frame
+warm-starts from the previous one), so a single clip cannot data-parallelize
+frame-by-frame. SURVEY.md section 3/6 prescribes the morphing analogue of
+context parallelism instead: split the clip into contiguous BLOCKS, one per
+device; every block's HEAD frame cold-solves (all heads in parallel), the
+frames inside a block run the usual warm-started scan. Cost model: one
+cold solve per device instead of one per clip — for a T-frame clip on D
+devices the wall clock drops from ``cold + (T-1) warm`` to
+``cold + (T/D - 1) warm``, at the price of D-1 extra cold solves that run
+concurrently anyway.
+
+Temporal coherence at block seams: within a block, E_TC anchors each frame
+to its predecessor exactly as in the sequential pipeline; the head frame of
+block k re-solves frame ``k*block`` from scratch, which the TC energy then
+propagates forward. Seam consistency is the same cold-vs-warm agreement the
+sequential pipeline's frame 0 already relies on (tested: blocked fields
+agree with the sequential solve to the usual cross-executable tolerance).
+
+Everything runs under ONE jitted ``shard_map`` over a 1-D mesh —
+per-device: cold pyramid solve + ``lax.scan`` over the block's remaining
+frames. Flows are computed once (replicated) before the shard_map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from videomorphing_tpu.config import MorphParams, VideoParams
+from videomorphing_tpu.ops.pyramid import auto_n_levels, gaussian_pyramid, pyramid_shapes, upsample_field_2x
+from videomorphing_tpu.solver.constraints import rasterize_point_constraints, scale_points
+from videomorphing_tpu.solver.descent import make_level_solver
+from videomorphing_tpu.solver.energy import make_level_data
+from videomorphing_tpu.video.pipeline import _make_warm_solver
+from videomorphing_tpu.video.temporal import advect_halfway_field
+
+
+def _cold_solve_traced(i0, i1, points, mp: MorphParams, hw: Tuple[int, int]):
+    """Full coarse-to-fine solve, traceable inside shard_map."""
+    h, w = hw
+    dtype = i0.dtype
+    n_levels = mp.n_levels or auto_n_levels(h, w, mp.min_level_size)
+    shapes = pyramid_shapes(h, w, n_levels)
+    pyr0 = gaussian_pyramid(i0, n_levels)
+    pyr1 = gaussian_pyramid(i1, n_levels)
+    v = jnp.zeros(shapes[-1] + (2,), dtype)
+    for level in range(n_levels - 1, -1, -1):
+        lh, lw = shapes[level]
+        lpts = scale_points(points, (h, w), (lh, lw))
+        ui_w, ui_v = rasterize_point_constraints(lpts, (lh, lw), mp.ui_sigma, dtype)
+        data = make_level_data(pyr0[level], pyr1[level], ui_w, ui_v)
+        solve = make_level_solver(mp, mp.iters_for_level(level, n_levels))
+        v, _ = solve(v, data)
+        if level > 0:
+            v = upsample_field_2x(v, shapes[level - 1])
+    return v
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_blocked_solve(
+    mp: MorphParams, vp: VideoParams, mesh: Mesh,
+    hw: Tuple[int, int], block: int, axis: str,
+):
+    from jax.experimental.shard_map import shard_map
+
+    h, w = hw
+    warm_solve = _make_warm_solver(mp, hw, vp)
+
+    def per_block(clip_a_blk, clip_b_blk, ptss_blk, fa_blk, fb_blk):
+        # local shapes: (1, block, H, W, C) etc — one block per device
+        a = clip_a_blk[0]
+        b = clip_b_blk[0]
+        pts = ptss_blk[0]
+        fa = fa_blk[0]
+        fb = fb_blk[0]
+
+        v0 = _cold_solve_traced(a[0], b[0], pts[0], mp, (h, w))
+
+        def scan_body(v_prev, xs):
+            a_t, b_t, pts_t, fa_t, fb_t = xs
+            tc_v, tc_w = advect_halfway_field(v_prev, fa_t, fb_t, vp)
+            v_t, _aux = warm_solve(a_t, b_t, pts_t, tc_v, tc_v, tc_w)
+            return v_t, v_t
+
+        _vf, vs = jax.lax.scan(
+            scan_body, v0, (a[1:], b[1:], pts[1:], fa, fb)
+        )
+        return jnp.concatenate([v0[None], vs], axis=0)[None]
+
+    sm = shard_map(
+        per_block, mesh=mesh,
+        in_specs=P(axis), out_specs=P(axis), check_rep=False,
+    )
+    return jax.jit(sm)
+
+
+def solve_clip_fields_blocked(
+    clip_a: jnp.ndarray,
+    clip_b: jnp.ndarray,
+    tracked_points: jnp.ndarray,
+    flows: dict,
+    mesh: Mesh,
+    mp: MorphParams = MorphParams(),
+    vp: VideoParams = VideoParams(),
+    axis: str = "batch",
+) -> jnp.ndarray:
+    """Solve a clip's halfway fields with frame BLOCKS across the mesh.
+
+    ``tracked_points``: (T, N, 2, 2) per-frame correspondences (from
+    ``video.temporal.track_keyframe_points``). ``flows``: the dict from
+    ``video.pipeline.solve_clip_fields``'s flow phase (only the forward
+    flows are consumed). T must divide by the mesh size; callers pad the
+    clip (repeat last frame) or fall back to the sequential pipeline.
+
+    Returns (T, H, W, 2).
+    """
+    t_len, h, w = clip_a.shape[0], clip_a.shape[1], clip_a.shape[2]
+    n_dev = int(mesh.shape[axis])
+    assert t_len % n_dev == 0, f"clip length {t_len} must divide over {n_dev} blocks"
+    block = t_len // n_dev
+    assert block >= 1
+
+    fa_fwd, fb_fwd = flows["fa_fwd"], flows["fb_fwd"]
+
+    # reshape to (n_dev, block, ...); block k's scan needs flows for frame
+    # transitions (k*block .. k*block+block-1), i.e. fwd[k*block-1+i] for
+    # i in [0, block-1) — gather per block (head frame needs none)
+    def blk(x):
+        return x.reshape((n_dev, block) + x.shape[1:])
+
+    idx = (
+        jnp.arange(n_dev)[:, None] * block + jnp.arange(max(block - 1, 1))[None, :]
+    )  # (n_dev, block-1) transition indices k*block + i, i in [0, block-1)
+    if block == 1:
+        fa_b = jnp.zeros((n_dev, 0) + fa_fwd.shape[1:], fa_fwd.dtype)
+        fb_b = fa_b
+    else:
+        fa_b = fa_fwd[idx.reshape(-1)].reshape((n_dev, block - 1) + fa_fwd.shape[1:])
+        fb_b = fb_fwd[idx.reshape(-1)].reshape((n_dev, block - 1) + fb_fwd.shape[1:])
+
+    run = _jitted_blocked_solve(mp, vp, mesh, (h, w), block, axis)
+    out = run(blk(clip_a), blk(clip_b), blk(tracked_points), fa_b, fb_b)
+    return out.reshape((t_len, h, w, 2))

@@ -123,6 +123,8 @@ def solve_clip_fields(
     points: Optional[jnp.ndarray] = None,
     mp: MorphParams = MorphParams(),
     vp: VideoParams = VideoParams(),
+    mesh=None,
+    mesh_axis: str = "batch",
 ):
     """Solve halfway fields for every frame pair of two clips (T, H, W, C).
 
@@ -155,6 +157,20 @@ def solve_clip_fields(
     tracked = _jitted_track(t_len, tuple(key_idx), mp, vp)(
         key_pts, fa_fwd, fa_bwd, fb_fwd, fb_bwd
     )
+
+    # frame blocks across the mesh (config 4: "frames batched across TPU
+    # cores") when a mesh is provided and the clip divides evenly
+    if mesh is not None and t_len > 1:
+        n_dev = int(mesh.shape[mesh_axis])
+        if n_dev > 1 and t_len % n_dev == 0:
+            from videomorphing_tpu.parallel.video_blocks import (
+                solve_clip_fields_blocked,
+            )
+
+            fields = solve_clip_fields_blocked(
+                clip_a, clip_b, tracked, flows, mesh, mp, vp, mesh_axis
+            )
+            return fields, tracked, flows
 
     # frame 0: cold full-pyramid solve
     res0 = optimize_pair(clip_a[0], clip_b[0], points=tracked[0], params=mp)
@@ -230,14 +246,16 @@ def morph_video(
     sp: SynthParams = SynthParams(),
     vp: VideoParams = VideoParams(),
     render: bool = True,
+    mesh=None,
 ) -> VideoResult:
     """Full video morph: solve fields, bend paths, render the transition.
 
     ``times``: per-frame morph time t_k (default: linear 0 -> 1 A-to-B
-    transition across the clip [EGSR14 s5]).
+    transition across the clip [EGSR14 s5]). Pass a 1-D ``mesh`` to solve
+    frame BLOCKS across devices (config 4) when the clip length divides.
     """
     t_len = clip_a.shape[0]
-    fields, tracked, flows = solve_clip_fields(clip_a, clip_b, points, mp, vp)
+    fields, tracked, flows = solve_clip_fields(clip_a, clip_b, points, mp, vp, mesh=mesh)
     res = render_video(
         clip_a, clip_b, fields, times=times, sp=sp, vp=vp,
         flows=flows, render=render,
