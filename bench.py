@@ -125,10 +125,111 @@ def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
     return t_len / best, best
 
 
+def _bench_pair(h: int, w: int, n_frames: int, n_points: int = 0, seed0: int = 0):
+    """BASELINE configs 1/2: single image-pair solve + render, frames/s and
+    iters/sec/Mpixel."""
+    import jax
+    import jax.numpy as jnp
+
+    from videomorphing_tpu import api
+    from videomorphing_tpu.config import MorphParams, SynthParams
+
+    mp = MorphParams()
+    sp = SynthParams()
+    gen = jax.jit(lambda s: _make_clips_device(1, h, w, s))
+
+    def once(seed):
+        ca, cb = gen(jnp.int32(seed))
+        i0, i1 = ca[0], cb[0]
+        float(jnp.sum(i0))
+        pts = None
+        if n_points:
+            ys = np.linspace(h * 0.3, h * 0.7, n_points)
+            pts = np.stack(
+                [np.stack([ys, np.full(n_points, w * 0.45)], -1),
+                 np.stack([ys, np.full(n_points, w * 0.55)], -1)], 1
+            ).astype(np.float32)
+        t0 = time.perf_counter()
+        art = api.solve_pair(i0, i1, pts, mp, sp)
+        ts = jnp.linspace(0.0, 1.0, n_frames)
+        frames = api.ImageMorpher(mp, sp).render(i0, i1, art, ts)
+        float(jnp.sum(frames[-1]))
+        dt = time.perf_counter() - t0
+        iters = sum(int(s.iters) for s in art.result.level_stats)
+        return dt, iters
+
+    once(seed0)  # compile
+    seed = int(time.time_ns() % (1 << 31))
+    dt, iters = once(seed)
+    return {
+        "metric": f"pair_morph_{h}x{w}",
+        "value": round(n_frames / dt, 4),
+        "unit": "frames/s",
+        "iters_per_sec_per_mpix": round(iters / dt / (h * w / 1e6), 1),
+        "wall_seconds": round(dt, 3),
+    }
+
+
+def _bench_batch_4k() -> dict:
+    """BASELINE config 5 core: one 4K pair through the sharded batch step."""
+    import jax
+    import jax.numpy as jnp
+
+    from videomorphing_tpu.config import MorphParams, SynthParams
+    from videomorphing_tpu.parallel.batch import make_batch_step
+    from videomorphing_tpu.parallel.mesh import make_mesh
+
+    h, w = 2160, 3840
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    step = make_batch_step(MorphParams(), SynthParams(), mesh, (h, w), 1)
+    pts = jnp.zeros((n_dev, 0, 2, 2), jnp.float32)
+    ts = jnp.full((n_dev, 1), 0.5, jnp.float32)
+    gen = jax.jit(lambda s: _make_clips_device(n_dev, h, w, s))
+
+    def once(seed):
+        ca, cb = gen(jnp.int32(seed))
+        float(jnp.sum(ca))
+        t0 = time.perf_counter()
+        out = step(ca, cb, pts, ts)
+        float(jnp.sum(out))
+        return time.perf_counter() - t0
+
+    once(3)
+    dt = once(int(time.time_ns() % (1 << 31)))
+    return {
+        "metric": "batch_pairs_4k",
+        "value": round(n_dev / dt, 4),
+        "unit": "pairs/s",
+        "wall_seconds": round(dt, 3),
+    }
+
+
 def main(argv=None) -> int:
+    import sys as _sys
+
     from videomorphing_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    config = argv[0] if argv else os.environ.get("BENCH_CONFIG", "video_1080p")
+
+    # BASELINE.json configs 1/2/5 run as direct reports; 3/4 fall through
+    # to the main video workload below with the matching shape
+    if config == "pair_256":
+        print(json.dumps(_bench_pair(256, 256, 16)))
+        return 0
+    if config == "pair_1k":
+        print(json.dumps(_bench_pair(1024, 1024, 16, n_points=4)))
+        return 0
+    if config == "batch_4k":
+        print(json.dumps(_bench_batch_4k()))
+        return 0
+    if config == "video_480p":
+        os.environ.setdefault("BENCH_FRAMES", "30")
+        os.environ.setdefault("BENCH_H", "480")
+        os.environ.setdefault("BENCH_W", "854")
+
     t_len = int(os.environ.get("BENCH_FRAMES", "6"))
     h = int(os.environ.get("BENCH_H", "1080"))
     w = int(os.environ.get("BENCH_W", "1920"))

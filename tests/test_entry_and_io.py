@@ -102,3 +102,16 @@ class TestFieldStore:
         assert st2.first_pending() == 2
         got_v, got_b = st2.fields()
         np.testing.assert_allclose(got_v[:2], v, atol=1e-6)
+
+
+def test_endpoint_ssim_metric(rng):
+    from videomorphing_tpu.utils.logging import endpoint_ssim
+
+    a = rng.random((24, 32, 3)).astype(np.float32)
+    b = rng.random((24, 32, 3)).astype(np.float32)
+    frames = np.stack([a, 0.5 * (a + b), b])
+    m = endpoint_ssim(frames, a, b)
+    assert m["ssim_t0_vs_a"] > 0.999
+    assert m["ssim_t1_vs_b"] > 0.999
+    m2 = endpoint_ssim(np.stack([b, a]), a, b)  # wrong endpoints -> low
+    assert m2["ssim_t0_vs_a"] < 0.9

@@ -27,7 +27,7 @@ from videomorphing_tpu.io.clips import load_clip, save_clip
 from videomorphing_tpu.io.images import load_image, save_image
 from videomorphing_tpu.io.project import Project, load_project
 from videomorphing_tpu.utils.checkpoint import FieldStore
-from videomorphing_tpu.utils.logging import MetricsLogger, level_record
+from videomorphing_tpu.utils.logging import MetricsLogger, endpoint_ssim, level_record
 
 
 def _load_points(path: Optional[str]):
@@ -117,6 +117,7 @@ def cmd_pair(args) -> int:
         frames_per_sec=args.frames / dt,
         iters_per_sec_per_mpix=total_iters / dt / (h * w / 1e6),
         wall_seconds=dt,
+        **endpoint_ssim(np.asarray(frames), i0, i1),
     )
     save_clip(args.out, np.asarray(frames))
     print(f"wrote {args.frames} frames to {args.out} in {dt:.2f}s")
@@ -189,6 +190,7 @@ def cmd_video(args) -> int:
         frames_per_sec=t_len / dt,
         wall_seconds=dt,
         resolution=f"{h}x{w}",
+        **endpoint_ssim(np.asarray(res.frames), clip_a[0], clip_b[-1]),
     )
     save_clip(args.out, np.asarray(res.frames))
     print(f"wrote {t_len} morph frames ({h}x{w}) to {args.out} in {dt:.2f}s")

@@ -130,7 +130,8 @@ class VideoParams:
                                      # 480p: vs 60 the morph changes by ~1e-4
                                      # mean abs — flow is only a prior)
     flow_levels: int = 0             # 0 = auto
-    flow_warps: int = 3              # warping (outer) iterations per level
+    flow_warps: int = 2              # warping (outer) iterations per level
+                                     # (probed at 480p: vs 3, ~2e-4 mean abs)
     flow_clamp: float = 1.0          # max |du| (px) per warp iteration
     # Flow is only used to warm-start/regularize the halfway solve and for
     # occlusion masks (SURVEY.md s1.5: "any flow of similar quality

@@ -73,3 +73,27 @@ def _to_jsonable(x):
         return float(x)
     except Exception:
         return str(x)
+
+
+def endpoint_ssim(frames, src_a, src_b) -> "Dict[str, float]":
+    """Endpoint-fidelity SSIM: frame 0 vs source A, last frame vs source B.
+
+    The BASELINE tracked metric is SSIM vs the reference's output frames;
+    the reference tree is unavailable (SURVEY.md section 0), so every run
+    emits this self-fidelity stand-in instead — at t=0/1 the morph must
+    reproduce its inputs, which catches warp/blend regressions in the same
+    units the eventual reference comparison will use.
+    """
+    import jax.numpy as jnp
+
+    from videomorphing_tpu.ops.ssim import dssim_map
+
+    f0 = jnp.asarray(frames[0])
+    f1 = jnp.asarray(frames[-1])
+    a = jnp.asarray(src_a, f0.dtype)
+    b = jnp.asarray(src_b, f0.dtype)
+    # interior crop: the 1-px border is edge-clamped by the warps
+    sl = (slice(2, -2), slice(2, -2))
+    s0 = 1.0 - float(jnp.mean(dssim_map(f0[sl], a[sl])))
+    s1 = 1.0 - float(jnp.mean(dssim_map(f1[sl], b[sl])))
+    return {"ssim_t0_vs_a": round(s0, 5), "ssim_t1_vs_b": round(s1, 5)}
