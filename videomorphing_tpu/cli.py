@@ -298,6 +298,14 @@ def cmd_batch(args) -> int:
         with open(args.manifest) as f:
             spec = json.load(f)
         job_specs = spec["jobs"] if isinstance(spec, dict) else spec
+        if args.multihost:
+            # DCN tier: every process takes its contiguous share of the
+            # manifest; no cross-host communication is needed (pure DP)
+            from videomorphing_tpu.parallel.multihost import initialize, process_shard
+
+            pid, n_proc = initialize()
+            job_specs = process_shard(job_specs)
+            m.emit("multihost", process=pid, n_processes=n_proc, jobs=len(job_specs))
         jobs = []
         for j in job_specs:
             pts = j.get("points")
@@ -404,6 +412,11 @@ def main(argv=None) -> int:
     p_batch.add_argument("--points", default=None)
     p_batch.add_argument("--out", default="batch_out.vmc")
     p_batch.add_argument("--frames", type=int, default=16, help="default n_frames for manifest jobs")
+    p_batch.add_argument(
+        "--multihost", action="store_true",
+        help="join a jax.distributed cluster (JAX_COORDINATOR_ADDRESS / "
+             "JAX_NUM_PROCESSES / JAX_PROCESS_ID) and shard the manifest by process",
+    )
     _add_param_overrides(p_batch)
     p_batch.set_defaults(fn=cmd_batch)
 

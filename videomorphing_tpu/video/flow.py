@@ -109,6 +109,44 @@ def _flow_pair_full(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams) -> jnp.ndar
     return u
 
 
+def flow_pair_bidir(
+    a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams = VideoParams()
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both flow directions of one frame pair: (a->b, b->a).
+
+    The two solves share the grayscale conversion, downsampling and the
+    Gaussian pyramids (the pyramid build is a noticeable slice of the flow
+    phase, and both directions need exactly the same pyramids).
+    """
+    h0, w0 = a.shape[0], a.shape[1]
+    if vp.flow_scale < 1.0:
+        hs = max(int(round(h0 * vp.flow_scale)), 16)
+        ws = max(int(round(w0 * vp.flow_scale)), 16)
+        a = jax.image.resize(a, (hs, ws) + a.shape[2:], method="linear")
+        b = jax.image.resize(b, (hs, ws) + b.shape[2:], method="linear")
+
+    ga, gb = _gray(a), _gray(b)
+    h, w = ga.shape
+    n_levels = vp.flow_levels or auto_n_levels(h, w, 16)
+    shapes = pyramid_shapes(h, w, n_levels)
+    pa = gaussian_pyramid(ga[..., None], n_levels)
+    pb = gaussian_pyramid(gb[..., None], n_levels)
+
+    uf = jnp.zeros(shapes[-1] + (2,), ga.dtype)
+    ub = uf
+    for level in range(n_levels - 1, -1, -1):
+        uf = _hs_level(pa[level][..., 0], pb[level][..., 0], uf, vp)
+        ub = _hs_level(pb[level][..., 0], pa[level][..., 0], ub, vp)
+        if level > 0:
+            uf = resample_field(uf, shapes[level - 1])
+            ub = resample_field(ub, shapes[level - 1])
+
+    if vp.flow_scale < 1.0:
+        uf = resample_field(uf, (h0, w0))
+        ub = resample_field(ub, (h0, w0))
+    return uf, ub
+
+
 def clip_flows(clip: jnp.ndarray, vp: VideoParams = VideoParams()) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward and backward flows between consecutive frames of (T, H, W, C).
 
@@ -122,6 +160,7 @@ def clip_flows(clip: jnp.ndarray, vp: VideoParams = VideoParams()) -> Tuple[jnp.
     # batching buys nothing, sequential keeps peak memory single-pair, and
     # the inner executable is identical for every clip length (a fresh
     # vmapped whole-program compile at batch 3 also reproducibly faulted
-    # this TPU runtime — sequential mapping sidesteps that entirely)
-    f = lambda xy: flow_pair(xy[0], xy[1], vp)
-    return jax.lax.map(f, (a, b)), jax.lax.map(f, (b, a))
+    # this TPU runtime — sequential mapping sidesteps that entirely).
+    # Both directions solve in one pass per pair (shared pyramids).
+    f = lambda xy: flow_pair_bidir(xy[0], xy[1], vp)
+    return jax.lax.map(f, (a, b))
