@@ -83,6 +83,100 @@ def _make_clips_device(t_len: int, h: int, w: int, seed):
     return clip(w * 0.45), clip(w * 0.55)
 
 
+def _bench_kernels() -> dict:
+    """On-chip kernel equivalence: compiled Mosaic kernels vs jnp twins.
+
+    CI runs the same checks in interpret mode (tests/test_pallas.py); this
+    exercises the COMPILED path on real hardware — the class of Mosaic
+    codegen bug interpret mode cannot catch (the repo already hit one:
+    pallas/warp.py dynamic sublane rolls). Runs as part of every default
+    bench so the number lands in BENCH_r{N}.json.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from videomorphing_tpu.config import MorphParams
+    from videomorphing_tpu.ops.resample import (
+        bilinear_sample,
+        bilinear_sample_with_grad,
+        grid_coords,
+    )
+    from videomorphing_tpu.pallas.sweep import (
+        fused_total_energy,
+        fused_value_grad_precond,
+    )
+    from videomorphing_tpu.pallas.warp import fused_sample, fused_warp_pair
+    from videomorphing_tpu.solver.descent import energy_value_grad_precond
+    from videomorphing_tpu.solver.energy import make_level_data, total_energy
+
+    interpret = jax.default_backend() != "tpu"
+
+    def rel(a, b):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        return float(np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12))
+
+    rng = np.random.default_rng(0)
+    h, w = 130, 300
+    i0 = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    i1 = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    v = jnp.asarray(0.8 * rng.standard_normal((h, w, 2)).astype(np.float32))
+    data = make_level_data(
+        i0, i1,
+        jnp.asarray(rng.random((h, w, 1), dtype=np.float32)),
+        jnp.asarray(rng.standard_normal((h, w, 2)).astype(np.float32)),
+        jnp.asarray(rng.random((h, w, 1), dtype=np.float32)),
+        jnp.asarray(rng.standard_normal((h, w, 2)).astype(np.float32)),
+    )
+    p = MorphParams()
+    errs = {}
+    errs["sweep_energy"] = rel(
+        total_energy(v, data, p), fused_total_energy(v, data, p, interpret=interpret)
+    )
+    e_ref, g_ref, pc_ref = energy_value_grad_precond(v, data, p)
+    e_pl, g_pl, pc_pl = fused_value_grad_precond(v, data, p, interpret=interpret)
+    errs["sweep_grad"] = max(rel(e_ref, e_pl), rel(g_ref, g_pl), rel(pc_ref, pc_pl))
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    v_s = jnp.asarray(
+        np.stack([1.5 * np.sin(yy / 40), 2 * np.cos(xx / 50)], -1).astype(np.float32)
+    )
+    g = grid_coords(h, w, jnp.float32)
+    w0r, dw0r = bilinear_sample_with_grad(i0, g - v_s)
+    w1r, dw1r = bilinear_sample_with_grad(i1, g + v_s)
+    w0, dw0, w1, dw1 = fused_warp_pair(i0, i1, v_s, interpret=interpret)
+    errs["fused_warp"] = max(rel(w0r, w0), rel(dw0r, dw0), rel(w1r, w1), rel(dw1r, dw1))
+
+    c0, c1 = g - v_s, g + 0.5 * v_s + 1.7
+    s0, s1 = fused_sample([i0, i1], [c0, c1], interpret=interpret)
+    errs["fused_sample"] = max(
+        rel(bilinear_sample(i0, c0), s0), rel(bilinear_sample(i1, c1), s1)
+    )
+    return {
+        "metric": "kernel_equivalence",
+        "value": round(max(errs.values()), 9),
+        "unit": "max_rel_err",
+        "compiled": not interpret,
+        **{k: round(e, 9) for k, e in errs.items()},
+    }
+
+
+def _bench_golden() -> dict:
+    """Golden-field midpoint fidelity (utils.golden): the stand-in for the
+    BASELINE "SSIM >= 0.99 vs reference" gate, on analytic cases."""
+    from videomorphing_tpu.utils.golden import run_golden
+
+    tr = run_golden("translation", hw=(256, 256))
+    ro = run_golden("rotation", hw=(256, 256))
+    return {
+        "metric": "golden_midpoint_ssim",
+        "value": round(min(tr["ssim_mid"], ro["ssim_mid"]), 5),
+        "unit": "ssim",
+        "translation": tr,
+        "rotation": ro,
+    }
+
+
 def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
     import jax
     import jax.numpy as jnp
@@ -114,7 +208,7 @@ def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
     once(0)
 
     best = float("inf")
-    for r in range(max(repeats, 2)):
+    for r in range(max(repeats, 1)):
         # time-derived seed: the TPU runtime result-caches identical
         # (executable, inputs) executions ACROSS processes, so even a fresh
         # benchmark process must never reuse clip content
@@ -225,12 +319,20 @@ def main(argv=None) -> int:
     if config == "batch_4k":
         print(json.dumps(_bench_batch_4k()))
         return 0
+    if config == "kernels":
+        print(json.dumps(_bench_kernels()))
+        return 0
+    if config == "golden":
+        print(json.dumps(_bench_golden()))
+        return 0
     if config == "video_480p":
         os.environ.setdefault("BENCH_FRAMES", "30")
         os.environ.setdefault("BENCH_H", "480")
         os.environ.setdefault("BENCH_W", "854")
 
-    t_len = int(os.environ.get("BENCH_FRAMES", "6"))
+    # default = the ACTUAL north-star workload: 30 frames at 1080p, measured
+    # (round 1 extrapolated from 6 frames — VERDICT round 1 item 3)
+    t_len = int(os.environ.get("BENCH_FRAMES", "30"))
     h = int(os.environ.get("BENCH_H", "1080"))
     w = int(os.environ.get("BENCH_W", "1920"))
 
@@ -241,6 +343,21 @@ def main(argv=None) -> int:
     per_chip = fps / n_chips
     baseline_per_chip = 3.0 / 8.0  # north star: 30 frames / 10 s on 8 chips
 
+    # ride the fidelity + kernel-equivalence gates along in the ONE
+    # headline JSON line so every BENCH_r{N}.json records them
+    extra = {}
+    try:
+        k = _bench_kernels()
+        extra["kernel_max_rel_err"] = k["value"]
+        extra["kernel_compiled"] = k["compiled"]
+    except Exception as e:  # pragma: no cover - defensive: never lose the fps line
+        extra["kernel_max_rel_err"] = f"error: {e}"
+    try:
+        g = _bench_golden()
+        extra["golden_midpoint_ssim"] = g["value"]
+    except Exception as e:  # pragma: no cover
+        extra["golden_midpoint_ssim"] = f"error: {e}"
+
     print(
         json.dumps(
             {
@@ -248,6 +365,8 @@ def main(argv=None) -> int:
                 "value": round(fps, 4),
                 "unit": "frames/s",
                 "vs_baseline": round(per_chip / baseline_per_chip, 4),
+                "frames": t_len,
+                **extra,
             }
         )
     )

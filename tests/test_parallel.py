@@ -30,6 +30,39 @@ def mesh():
     return make_mesh(axis_names=("y",))
 
 
+class TestSpatialPairSolve:
+    def test_full_ctf_matches_single_device(self, rng, mesh):
+        """The full coarse-to-fine spatial solve (the --spatial-shards
+        product path) pins to the plain optimize_pair oracle."""
+        from videomorphing_tpu.parallel.spatial import optimize_pair_spatial
+        from videomorphing_tpu.solver.ctf import optimize_pair
+
+        n = len(jax.devices())
+        h, w = 16 * n, 48  # levels 128 and 64: both divide 8
+        i0 = _smooth(rng, h, w)
+        i1 = jnp.roll(i0, 2, axis=1)
+        mp = MorphParams(n_levels=2, iters_coarse=20, iters_fine=10, backend="jnp")
+
+        ref = optimize_pair(i0, i1, params=mp)
+        res = optimize_pair_spatial(i0, i1, params=mp, mesh=mesh)
+        assert res.v.shape == (h, w, 2)
+        err = np.abs(np.asarray(res.v) - np.asarray(ref.v))
+        assert err.max() < 5e-3, err.max()
+
+    def test_coarse_levels_fall_back_locally(self, rng, mesh):
+        """Heights that stop dividing the mesh at coarse levels still solve
+        (single-device fallback for those levels only)."""
+        from videomorphing_tpu.parallel.spatial import optimize_pair_spatial
+
+        h, w = 8 * len(jax.devices()) + 8, 32  # 72 rows: 72 % 8 != 0
+        i0 = _smooth(rng, h, w)
+        i1 = jnp.roll(i0, 1, axis=1)
+        mp = MorphParams(n_levels=2, iters_coarse=10, iters_fine=5, backend="jnp")
+        res = optimize_pair_spatial(i0, i1, params=mp, mesh=mesh)
+        assert res.v.shape == (h, w, 2)
+        assert np.isfinite(np.asarray(res.v)).all()
+
+
 class TestHalo:
     def test_halo_exchange_matches_global(self, mesh):
         n = len(jax.devices())

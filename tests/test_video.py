@@ -198,6 +198,48 @@ class TestPipeline:
         )
 
 
+class TestWarmStartContract:
+    def test_propagated_start_needs_fewer_iterations(self):
+        """SURVEY.md section 5 "Temporal": the propagated field must converge
+        in >= 2x fewer iterations than a cold start, and land on ~the same
+        field. Measured with the solver's own tol-based early stop — the
+        iteration counts are convergence data, not output-diff probes."""
+        from videomorphing_tpu.solver.constraints import rasterize_point_constraints
+        from videomorphing_tpu.solver.ctf import optimize_pair
+        from videomorphing_tpu.solver.descent import make_level_solver
+        from videomorphing_tpu.solver.energy import make_level_data
+
+        h = w = 48
+        clip_a = _moving_clip(2, h, w, (24, 18), (0, 1))
+        clip_b = _moving_clip(2, h, w, (24, 22), (0, 1))
+        mp = MorphParams(n_levels=3, iters_coarse=300, iters_fine=300, tol=1e-6)
+
+        # cold: frame 1 from scratch, full pyramid, tol-stopped
+        res_cold = optimize_pair(clip_a[1], clip_b[1], params=mp)
+        cold_iters = sum(int(s.iters) for s in res_cold.level_stats)
+
+        # warm: frame 0 solved, field advected by the two flows, finest
+        # level only, SAME energy (no TC term — isolates the init benefit)
+        res0 = optimize_pair(clip_a[0], clip_b[0], params=mp)
+        vp = VideoParams(flow_iters=40)
+        fa = flow_pair(clip_a[0], clip_a[1], vp)
+        fb = flow_pair(clip_b[0], clip_b[1], vp)
+        tc_v, _tc_w = advect_halfway_field(res0.v, fa, fb, vp)
+
+        ui_w, ui_v = rasterize_point_constraints(
+            jnp.zeros((0, 2, 2), jnp.float32), (h, w), mp.ui_sigma, jnp.float32
+        )
+        data = make_level_data(clip_a[1], clip_b[1], ui_w, ui_v)
+        v_warm, st = make_level_solver(mp, 300)(tc_v, data)
+        warm_iters = int(st.iters)
+
+        assert warm_iters * 2 <= cold_iters, (warm_iters, cold_iters)
+        # propagated-then-polished field ~ cold field near the blob
+        reg = np.s_[16:33, 16:33]
+        diff = np.abs(np.asarray(v_warm)[reg] - np.asarray(res_cold.v)[reg])
+        assert diff.mean() < 0.25, diff.mean()
+
+
 class TestResume:
     def test_resume_matches_full_solve(self):
         """Entering the warm scan mid-clip (checkpoint resume) reproduces

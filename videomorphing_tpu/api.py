@@ -97,6 +97,45 @@ def morph_pair_layered(
     return _mpl(_dev(i0), _dev(i1), norm, _pts(points), n_frames, mp, sp)
 
 
+def morph_clips_layered(
+    clip_a,
+    clip_b,
+    layers,
+    points=None,
+    times=None,
+    mp: MorphParams = MorphParams(),
+    sp: SynthParams = SynthParams(),
+    vp: VideoParams = VideoParams(),
+    mesh=None,
+):
+    """Layered video morph: independently-moving regions of a CLIP pair get
+    their own temporally propagated fields (SURVEY.md section 3 layer masks;
+    see ``video.layered``).
+
+    ``layers``: sequence of ``video.layered.VideoLayer`` or dicts with keys
+    ``mask0``/``mask1`` ((T, H, W) or (H, W) arrays) and optional ``points``.
+    """
+    from videomorphing_tpu.video.layered import VideoLayer
+    from videomorphing_tpu.video.layered import morph_clips_layered as _mcl
+
+    norm = []
+    for l in layers:
+        if isinstance(l, VideoLayer):
+            norm.append(l)
+        else:
+            norm.append(
+                VideoLayer(
+                    mask0=_dev(l["mask0"]),
+                    mask1=_dev(l["mask1"]),
+                    points=_pts(l.get("points")),
+                )
+            )
+    return _mcl(
+        _dev(clip_a), _dev(clip_b), norm, _pts(points),
+        times=times, mp=mp, sp=sp, vp=vp, mesh=mesh,
+    )
+
+
 class Session:
     """Interactive morphing session with warm restarts on point edits."""
 

@@ -27,7 +27,12 @@ from videomorphing_tpu.io.clips import load_clip, save_clip
 from videomorphing_tpu.io.images import load_image, save_image
 from videomorphing_tpu.io.project import Project, load_project
 from videomorphing_tpu.utils.checkpoint import FieldStore
-from videomorphing_tpu.utils.logging import MetricsLogger, endpoint_ssim, level_record
+from videomorphing_tpu.utils.logging import (
+    MetricsLogger,
+    endpoint_ssim,
+    level_record,
+    midpoint_agreement_ssim,
+)
 
 
 def _load_points(path: Optional[str]):
@@ -90,7 +95,25 @@ def cmd_pair(args) -> int:
 
     t0 = time.perf_counter()
     with trace_to(args.trace), m.phase("solve"):
-        art = api.solve_pair(i0, i1, points, mp, sp)
+        if getattr(args, "spatial_shards", 1) and args.spatial_shards > 1:
+            # one giant frame's rows across devices (config 5 spatial tier)
+            import jax
+
+            from videomorphing_tpu.models.image_morph import MorphArtifacts
+            from videomorphing_tpu.parallel.mesh import make_mesh
+            from videomorphing_tpu.parallel.spatial import optimize_pair_spatial
+            from videomorphing_tpu.synth.paths import jitted_bulge_field
+
+            n = min(args.spatial_shards, len(jax.devices()))
+            mesh = make_mesh((n,), ("y",))
+            res = optimize_pair_spatial(
+                api._dev(i0), api._dev(i1), api._pts(points), mp, mesh
+            )
+            b = jitted_bulge_field(sp)(res.v) if sp.quadratic_paths else None
+            art = MorphArtifacts(v=res.v, b=b, result=res)
+            m.emit("spatial", shards=n)
+        else:
+            art = api.solve_pair(i0, i1, points, mp, sp)
         art.v.block_until_ready()
     from videomorphing_tpu.ops.pyramid import pyramid_shapes
 
@@ -118,6 +141,7 @@ def cmd_pair(args) -> int:
         iters_per_sec_per_mpix=total_iters / dt / (h * w / 1e6),
         wall_seconds=dt,
         **endpoint_ssim(np.asarray(frames), i0, i1),
+        **midpoint_agreement_ssim(art.v, i0, i1),
     )
     save_clip(args.out, np.asarray(frames))
     print(f"wrote {args.frames} frames to {args.out} in {dt:.2f}s")
@@ -138,7 +162,19 @@ def cmd_video(args) -> int:
     store = FieldStore(args.fields) if args.fields else None
     done_n = 0
     if store is not None and store.done.shape == (t_len,):
-        done_n = store.first_pending()
+        # only resume when the stored fields match THIS clip's resolution:
+        # a store saved at another size but equal frame count would feed
+        # wrong-scale fields into the render (ADVICE round 1)
+        v_stored = store.fields()[0]
+        if v_stored is not None and v_stored.shape[1:3] == (h, w):
+            done_n = store.first_pending()
+        else:
+            m.emit(
+                "resume_skipped",
+                reason="field store resolution mismatch",
+                stored=list(v_stored.shape[1:3]) if v_stored is not None else None,
+                clip=[h, w],
+            )
 
     t0 = time.perf_counter()
     with trace_to(args.trace), m.phase("video"):
@@ -171,8 +207,9 @@ def cmd_video(args) -> int:
             import jax
 
             mesh = None
-            if len(jax.devices()) > 1 and t_len % len(jax.devices()) == 0:
-                # frame blocks across devices (config 4)
+            if len(jax.devices()) > 1 and t_len > 1:
+                # frame blocks across devices (config 4); clips that don't
+                # divide evenly are padded inside solve_clip_fields
                 from videomorphing_tpu.parallel.mesh import make_mesh
 
                 mesh = make_mesh()
@@ -191,6 +228,9 @@ def cmd_video(args) -> int:
         wall_seconds=dt,
         resolution=f"{h}x{w}",
         **endpoint_ssim(np.asarray(res.frames), clip_a[0], clip_b[-1]),
+        **midpoint_agreement_ssim(
+            np.asarray(res.fields[t_len // 2]), clip_a[t_len // 2], clip_b[t_len // 2]
+        ),
     )
     save_clip(args.out, np.asarray(res.frames))
     print(f"wrote {t_len} morph frames ({h}x{w}) to {args.out} in {dt:.2f}s")
@@ -256,16 +296,41 @@ def _run_project_pair(proj: Project, args) -> int:
     return 0
 
 
+def _load_mask(path: str) -> np.ndarray:
+    """Layer mask: a single image (static, broadcast over time) or a clip
+    (per-frame masks); reduced to one channel in [0, 1]."""
+    if path.lower().endswith((".png", ".jpg", ".jpeg")):
+        return load_image(path).mean(-1)
+    m = load_clip(path)
+    return m.mean(-1) if m.ndim == 4 else m
+
+
 def _run_project_video(proj: Project, args) -> int:
     from videomorphing_tpu import api
 
     clip_a = load_clip(proj.source_a)
     clip_b = load_clip(proj.source_b)
     t0 = time.perf_counter()
-    res = api.morph_clips(
-        clip_a, clip_b, proj.points,
-        times=proj.times, mp=proj.morph, sp=proj.synth, vp=proj.video,
-    )
+    if proj.layers:
+        # layered clips: per-layer temporally propagated fields
+        # (SURVEY.md section 3 "layer masks"; video.layered)
+        layers = [
+            dict(
+                mask0=_load_mask(l["mask_a"]),
+                mask1=_load_mask(l["mask_b"]),
+                points=np.asarray(l["points"], np.float32) if l.get("points") else None,
+            )
+            for l in proj.layers
+        ]
+        res = api.morph_clips_layered(
+            clip_a, clip_b, layers, proj.points,
+            times=proj.times, mp=proj.morph, sp=proj.synth, vp=proj.video,
+        )
+    else:
+        res = api.morph_clips(
+            clip_a, clip_b, proj.points,
+            times=proj.times, mp=proj.morph, sp=proj.synth, vp=proj.video,
+        )
     save_clip(proj.output, np.asarray(res.frames))
     print(f"wrote {clip_a.shape[0]} frames to {proj.output} in {time.perf_counter()-t0:.2f}s")
     return 0
@@ -291,7 +356,18 @@ def cmd_batch(args) -> int:
 
     m = MetricsLogger(verbose=args.verbose)
     mp, sp, _ = _params_from_args(args)
-    mesh = make_mesh()
+    if args.multihost:
+        # jax.distributed.initialize MUST run before the first jax call that
+        # initializes the backend (make_mesh -> jax.devices does); each
+        # process then shards only its own devices (ADVICE round 1)
+        import jax
+
+        from videomorphing_tpu.parallel.multihost import initialize
+
+        pid, n_proc = initialize()
+        mesh = make_mesh(devices=jax.local_devices())
+    else:
+        mesh = make_mesh()
     bsz = int(mesh.shape["batch"])
 
     if args.manifest:
@@ -301,9 +377,8 @@ def cmd_batch(args) -> int:
         if args.multihost:
             # DCN tier: every process takes its contiguous share of the
             # manifest; no cross-host communication is needed (pure DP)
-            from videomorphing_tpu.parallel.multihost import initialize, process_shard
+            from videomorphing_tpu.parallel.multihost import process_shard
 
-            pid, n_proc = initialize()
             job_specs = process_shard(job_specs)
             m.emit("multihost", process=pid, n_processes=n_proc, jobs=len(job_specs))
         jobs = []
@@ -365,6 +440,12 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_edit(args) -> int:
+    from videomorphing_tpu.edit import run_editor_cli
+
+    return run_editor_cli(args)
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
@@ -386,6 +467,10 @@ def main(argv=None) -> int:
     p_pair.add_argument("--points", default=None, help="JSON file with [[y0,x0],[y1,x1]] pairs")
     p_pair.add_argument("--frames", type=int, default=16)
     p_pair.add_argument("--out", default="morph_out")
+    p_pair.add_argument(
+        "--spatial-shards", type=int, default=1,
+        help="shard one giant frame's rows over N devices (config 5 spatial tier)",
+    )
     _add_param_overrides(p_pair)
     p_pair.set_defaults(fn=cmd_pair)
 
@@ -419,6 +504,19 @@ def main(argv=None) -> int:
     )
     _add_param_overrides(p_batch)
     p_batch.set_defaults(fn=cmd_batch)
+
+    p_edit = sub.add_parser(
+        "edit", help="interactive terminal point editor (edit -> warm re-solve -> preview)"
+    )
+    p_edit.add_argument("image_a")
+    p_edit.add_argument("image_b")
+    p_edit.add_argument("--points", default=None, help="initial points JSON")
+    p_edit.add_argument("--out", default="points.json", help="where `save` writes")
+    p_edit.add_argument("--script", default=None, help="command file instead of stdin")
+    p_edit.add_argument("--cols", type=int, default=0, help="preview width (0 = terminal)")
+    p_edit.add_argument("--no-preview", action="store_true", help="suppress ANSI previews")
+    _add_param_overrides(p_edit)
+    p_edit.set_defaults(fn=cmd_edit)
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
     p_bench.set_defaults(fn=cmd_bench)

@@ -51,21 +51,29 @@ def render_clip_sharded(
     ``ts`` is padded to a multiple of the axis size; sources/field are
     replicated (cheap: one pair per clip), frames land sharded and are
     gathered only by the caller's host transfer (BASELINE.json config 4).
+
+    ``shard_map`` over devices + sequential ``lax.map`` over each device's
+    local times, NOT ``vmap``: ``render_frame`` contains ``lax.cond``
+    fast-path dispatch and vmap would run the Pallas kernels AND their XLA
+    fallbacks on every frame (ARCHITECTURE.md platform landmine; same
+    structure as ``parallel.batch.make_batch_step``).
     """
+    from jax.experimental.shard_map import shard_map
+
     n_dev = mesh.shape[axis]
     ts_p, n = _pad_to_multiple(ts.astype(v.dtype), n_dev)
 
-    t_shard = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
+    def local(i0_, i1_, v_, b_, ts_):
+        return jax.lax.map(lambda t: render_frame(i0_, i1_, v_, b_, t, sp), ts_)
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(repl, repl, repl, repl, t_shard),
-        out_shardings=t_shard,
+    run = jax.jit(
+        shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis)),
+            out_specs=P(axis),
+            check_rep=False,
+        )
     )
-    def run(i0_, i1_, v_, b_, ts_):
-        return jax.vmap(lambda t: render_frame(i0_, i1_, v_, b_, t, sp))(ts_)
-
     b_arg = b if b is not None else jnp.zeros_like(v)
     out = run(i0, i1, v, b_arg, ts_p)
     return out[:n]

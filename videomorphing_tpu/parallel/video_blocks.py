@@ -83,8 +83,15 @@ def _jitted_blocked_solve(
         v0 = _cold_solve_traced(a[0], b[0], pts[0], mp, (h, w))
 
         def scan_body(v_prev, xs):
+            # mirrors pipeline._jitted_frame_scan exactly, including the
+            # vp.propagate=False branch (a mesh must not silently change
+            # solve semantics — ADVICE round 1)
             a_t, b_t, pts_t, fa_t, fb_t = xs
-            tc_v, tc_w = advect_halfway_field(v_prev, fa_t, fb_t, vp)
+            if vp.propagate:
+                tc_v, tc_w = advect_halfway_field(v_prev, fa_t, fb_t, vp)
+            else:
+                tc_v = jnp.zeros_like(v_prev)
+                tc_w = jnp.zeros((h, w, 1), a.dtype)
             v_t, _aux = warm_solve(a_t, b_t, pts_t, tc_v, tc_v, tc_w)
             return v_t, v_t
 

@@ -33,12 +33,22 @@ def path_displacement(v: jnp.ndarray, b: Optional[jnp.ndarray], t) -> jnp.ndarra
     return d
 
 
+def _resolve_fused(use_fused: Optional[bool]) -> bool:
+    """``None`` = auto (TPU backend); callers thread SynthParams.fused_sampling
+    here so the documented escape hatch disables the fused sampler everywhere
+    (ADVICE round 1: the backend check alone ignored the flag)."""
+    if use_fused is None:
+        return jax.default_backend() == "tpu"
+    return bool(use_fused) and jax.default_backend() == "tpu"
+
+
 def invert_path(
     v: jnp.ndarray,
     b: Optional[jnp.ndarray],
     t,
     n_iters: int = 6,
     multiscale: bool = True,
+    use_fused: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Find halfway coords p(q) with x_t(p) = q for every output pixel q.
 
@@ -71,7 +81,7 @@ def invert_path(
         pc = jax.lax.fori_loop(0, n_iters - 1, body_c, qc)
         corr = jax.image.resize(pc - qc, (h, w, 2), method="bilinear")
         p = q + corr * 2.0
-        if jax.default_backend() == "tpu":
+        if _resolve_fused(use_fused):
             from videomorphing_tpu.pallas.warp import fused_sample
 
             (d_at_p,) = fused_sample([disp], [p])
@@ -90,6 +100,7 @@ def invert_path_with_field(
     t,
     n_iters: int = 6,
     multiscale: bool = True,
+    use_fused: Optional[bool] = None,
 ):
     """:func:`invert_path` that also returns ``v(p)`` — one gather cheaper.
 
@@ -126,7 +137,7 @@ def invert_path_with_field(
 
         p = jax.lax.fori_loop(0, max(n_iters - 1, 1), body, q)
 
-    if jax.default_backend() == "tpu":
+    if _resolve_fused(use_fused):
         from videomorphing_tpu.pallas.warp import fused_sample
 
         (s,) = fused_sample([stacked], [p])
@@ -162,7 +173,8 @@ def render_frame(
     t = jnp.asarray(t, v.dtype)
     use_fused = sp.fused_sampling and jax.default_backend() == "tpu"
     p, v_at_p = invert_path_with_field(
-        v, b, t, sp.invert_iters, multiscale=sp.invert_multiscale
+        v, b, t, sp.invert_iters, multiscale=sp.invert_multiscale,
+        use_fused=sp.fused_sampling,
     )
     phi0 = p - v_at_p
     phi1 = p + v_at_p
@@ -213,9 +225,17 @@ def render_clip(
     For a single image pair this is the "16 in-betweens" path (BASELINE.json
     config 1). Frame-parallel sharding wraps this in
     ``videomorphing_tpu.parallel``.
+
+    Sequential ``lax.map`` over times, NOT ``vmap``: ``render_frame``
+    contains ``lax.cond`` fast-path dispatch (fused Pallas sampler vs exact
+    XLA gather), and vmap turns every cond into a both-branches ``select``
+    — on TPU that runs the Pallas kernels AND their fallbacks per frame
+    (the platform landmine documented in ARCHITECTURE.md; same reasoning
+    as ``parallel.batch.make_batch_step``). Sequential also keeps peak
+    memory single-frame.
     """
     fn = lambda t: render_frame(i0, i1, v, b, t, sp)
-    return jax.vmap(fn)(ts.astype(v.dtype))
+    return jax.lax.map(fn, ts.astype(v.dtype))
 
 
 @functools.lru_cache(maxsize=None)

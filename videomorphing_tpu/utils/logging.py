@@ -97,3 +97,30 @@ def endpoint_ssim(frames, src_a, src_b) -> "Dict[str, float]":
     s0 = 1.0 - float(jnp.mean(dssim_map(f0[sl], a[sl])))
     s1 = 1.0 - float(jnp.mean(dssim_map(f1[sl], b[sl])))
     return {"ssim_t0_vs_a": round(s0, 5), "ssim_t1_vs_b": round(s1, 5)}
+
+
+def midpoint_agreement_ssim(v, i0, i1, crop: int = 4) -> "Dict[str, float]":
+    """Correspondence-quality instrument for ARBITRARY inputs: SSIM between
+    the two one-sided halfway reconstructions I0(phi0(p)) and I1(phi1(p)).
+
+    A correct field aligns the warped sources on the halfway domain, so
+    their SSIM is high; a wrong-but-smooth field leaves them misaligned —
+    the failure mode the endpoint metric cannot see (VERDICT round 1). This
+    is exactly E_SIM's alignment objective read back out as a metric, in
+    the same units as the eventual reference comparison. Emitted by every
+    CLI run; the analytic golden gate lives in ``utils.golden``.
+    """
+    import jax.numpy as jnp
+
+    from videomorphing_tpu.ops.resample import bilinear_sample, grid_coords
+    from videomorphing_tpu.ops.ssim import dssim_map
+
+    v = jnp.asarray(v)
+    i0 = jnp.asarray(i0, v.dtype)
+    i1 = jnp.asarray(i1, v.dtype)
+    g = grid_coords(v.shape[0], v.shape[1], v.dtype)
+    w0 = bilinear_sample(i0, g - v)
+    w1 = bilinear_sample(i1, g + v)
+    sl = (slice(crop, -crop), slice(crop, -crop))
+    s = 1.0 - float(jnp.mean(dssim_map(w0[sl], w1[sl])))
+    return {"ssim_halfway_agreement": round(s, 5)}
