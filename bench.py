@@ -111,47 +111,60 @@ def _bench_kernels() -> dict:
 
     interpret = jax.default_backend() != "tpu"
 
-    def rel(a, b):
-        a = np.asarray(a)
-        b = np.asarray(b)
-        return float(np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12))
-
     rng = np.random.default_rng(0)
     h, w = 130, 300
     i0 = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
     i1 = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
     v = jnp.asarray(0.8 * rng.standard_normal((h, w, 2)).astype(np.float32))
-    data = make_level_data(
-        i0, i1,
-        jnp.asarray(rng.random((h, w, 1), dtype=np.float32)),
-        jnp.asarray(rng.standard_normal((h, w, 2)).astype(np.float32)),
-        jnp.asarray(rng.random((h, w, 1), dtype=np.float32)),
-        jnp.asarray(rng.standard_normal((h, w, 2)).astype(np.float32)),
-    )
-    p = MorphParams()
-    errs = {}
-    errs["sweep_energy"] = rel(
-        total_energy(v, data, p), fused_total_energy(v, data, p, interpret=interpret)
-    )
-    e_ref, g_ref, pc_ref = energy_value_grad_precond(v, data, p)
-    e_pl, g_pl, pc_pl = fused_value_grad_precond(v, data, p, interpret=interpret)
-    errs["sweep_grad"] = max(rel(e_ref, e_pl), rel(g_ref, g_pl), rel(pc_ref, pc_pl))
-
+    ui_w = jnp.asarray(rng.random((h, w, 1), dtype=np.float32))
+    ui_v = jnp.asarray(rng.standard_normal((h, w, 2)).astype(np.float32))
+    tc_w = jnp.asarray(rng.random((h, w, 1), dtype=np.float32))
+    tc_v = jnp.asarray(rng.standard_normal((h, w, 2)).astype(np.float32))
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     v_s = jnp.asarray(
         np.stack([1.5 * np.sin(yy / 40), 2 * np.cos(xx / 50)], -1).astype(np.float32)
     )
-    g = grid_coords(h, w, jnp.float32)
-    w0r, dw0r = bilinear_sample_with_grad(i0, g - v_s)
-    w1r, dw1r = bilinear_sample_with_grad(i1, g + v_s)
-    w0, dw0, w1, dw1 = fused_warp_pair(i0, i1, v_s, interpret=interpret)
-    errs["fused_warp"] = max(rel(w0r, w0), rel(dw0r, dw0), rel(w1r, w1), rel(dw1r, dw1))
+    p = MorphParams()
 
-    c0, c1 = g - v_s, g + 0.5 * v_s + 1.7
-    s0, s1 = fused_sample([i0, i1], [c0, c1], interpret=interpret)
-    errs["fused_sample"] = max(
-        rel(bilinear_sample(i0, c0), s0), rel(bilinear_sample(i1, c1), s1)
-    )
+    def rel(ref, got):
+        # traced: scalar per comparison, fetched once
+        fr = jnp.max(jnp.abs(ref))
+        return jnp.max(jnp.abs(ref - got)) / (fr + 1e-12)
+
+    # ONE jit around everything: this chip sits behind a high-latency
+    # tunnel, so the eager form of these comparisons pays ~30 ms per op
+    # and takes minutes (measured; PERF.md methodology)
+    @jax.jit
+    def run(i0, i1, v, ui_w, ui_v, tc_w, tc_v, v_s):
+        data = make_level_data(i0, i1, ui_w, ui_v, tc_w, tc_v)
+        out = {}
+        out["sweep_energy"] = rel(
+            total_energy(v, data, p),
+            fused_total_energy(v, data, p, interpret=interpret),
+        )
+        e_ref, g_ref, pc_ref = energy_value_grad_precond(v, data, p)
+        e_pl, g_pl, pc_pl = fused_value_grad_precond(v, data, p, interpret=interpret)
+        out["sweep_grad"] = jnp.maximum(
+            jnp.maximum(rel(e_ref, e_pl), rel(g_ref, g_pl)), rel(pc_ref, pc_pl)
+        )
+
+        g = grid_coords(h, w, jnp.float32)
+        w0r, dw0r = bilinear_sample_with_grad(i0, g - v_s)
+        w1r, dw1r = bilinear_sample_with_grad(i1, g + v_s)
+        w0, dw0, w1, dw1 = fused_warp_pair(i0, i1, v_s, interpret=interpret)
+        out["fused_warp"] = jnp.maximum(
+            jnp.maximum(rel(w0r, w0), rel(dw0r, dw0)),
+            jnp.maximum(rel(w1r, w1), rel(dw1r, dw1)),
+        )
+
+        c0, c1 = g - v_s, g + 0.5 * v_s + 1.7
+        s0, s1 = fused_sample([i0, i1], [c0, c1], interpret=interpret)
+        out["fused_sample"] = jnp.maximum(
+            rel(bilinear_sample(i0, c0), s0), rel(bilinear_sample(i1, c1), s1)
+        )
+        return out
+
+    errs = {k: float(e) for k, e in run(i0, i1, v, ui_w, ui_v, tc_w, tc_v, v_s).items()}
     return {
         "metric": "kernel_equivalence",
         "value": round(max(errs.values()), 9),

@@ -14,6 +14,13 @@ at import).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Disable the persistent XLA compile cache under pytest: CLI entry points
+# call enable_compile_cache(), and jaxlib's executable (de)serialization
+# has segfaulted on large CPU shard_map executables even with a fresh,
+# isolated cache dir (observed in test_video_blocks, once on cache get and
+# once on put). Tests never benefit from the persistent cache anyway —
+# every CPU compile here is fast. enable_compile_cache honors "off".
+os.environ.setdefault("VMORPH_COMPILE_CACHE", "off")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -115,3 +115,29 @@ def test_endpoint_ssim_metric(rng):
     assert m["ssim_t1_vs_b"] > 0.999
     m2 = endpoint_ssim(np.stack([b, a]), a, b)  # wrong endpoints -> low
     assert m2["ssim_t0_vs_a"] < 0.9
+
+
+def test_cli_set_overrides():
+    """--set section.field=value reaches every config field; --flow-robust
+    and --sampling map to their dataclass fields (the ergonomic aliases)."""
+    from videomorphing_tpu.cli import _params_from_args, build_parser
+
+    ap = build_parser()
+    args = ap.parse_args(
+        ["pair", "a.png", "b.png", "--sampling", "bicubic",
+         "--set", "morph.ssim_window=7", "--set", "video.flow_gamma=20",
+         "--set", "synth.invert_iters=4", "--set", "video.flow_robust=true"]
+    )
+    mp, sp, vp = _params_from_args(args)
+    assert mp.ssim_window == 7
+    assert sp.sampling == "bicubic"
+    assert sp.invert_iters == 4
+    assert vp.flow_gamma == 20.0 and isinstance(vp.flow_gamma, float)
+    assert vp.flow_robust is True
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _params_from_args(ap.parse_args(["pair", "a", "b", "--set", "morph.nope=1"]))
+    with pytest.raises(SystemExit):
+        _params_from_args(ap.parse_args(["pair", "a", "b", "--set", "bogus.x=1"]))

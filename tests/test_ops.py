@@ -46,6 +46,40 @@ class TestResample:
         expect = 2.0 * jnp.clip(coords[..., 0], 0, 7) + 3.0 * jnp.clip(coords[..., 1], 0, 7)
         np.testing.assert_allclose(out[..., 0], expect, atol=1e-4)
 
+    def test_bicubic_identity_and_integer_shift(self, rng):
+        from videomorphing_tpu.ops.resample import bicubic_sample
+
+        img = jnp.asarray(rng.random((16, 16, 2), dtype=np.float32))
+        g = grid_coords(16, 16)
+        np.testing.assert_allclose(bicubic_sample(img, g), img, atol=1e-5)
+        shifted = bicubic_sample(img, g + jnp.array([0.0, 2.0]))
+        np.testing.assert_allclose(shifted[:, :-3], img[:, 2:-1], atol=1e-5)
+
+    def test_bicubic_reproduces_linear_ramp(self):
+        # cubic convolution with a=-0.5 reproduces polynomials up to degree 1
+        from videomorphing_tpu.ops.resample import bicubic_sample
+
+        g = grid_coords(12, 12)
+        img = (2.0 * g[..., 0] + 3.0 * g[..., 1])[..., None]
+        coords = g[3:-3, 3:-3] + jnp.array([0.4, 0.7])
+        out = bicubic_sample(img, coords)
+        expect = 2.0 * coords[..., 0] + 3.0 * coords[..., 1]
+        np.testing.assert_allclose(out[..., 0], expect, atol=1e-4)
+
+    def test_bicubic_sharper_than_bilinear_on_cosine(self):
+        # on a band-limited signal at half-integer offsets, Catmull-Rom has
+        # strictly lower interpolation error than the tent filter
+        from videomorphing_tpu.ops.resample import bicubic_sample
+
+        g = grid_coords(64, 64)
+        f = lambda c: jnp.cos(0.9 * c[..., 1] + 0.4 * c[..., 0])
+        img = f(g)[..., None]
+        coords = g[8:-8, 8:-8] + 0.5
+        true = f(coords)
+        err_cub = float(jnp.abs(bicubic_sample(img, coords)[..., 0] - true).mean())
+        err_lin = float(jnp.abs(bilinear_sample(img, coords)[..., 0] - true).mean())
+        assert err_cub < 0.5 * err_lin, (err_cub, err_lin)
+
     def test_inside_mask(self):
         coords = jnp.array([[[0.0, 0.0], [-0.1, 3.0]], [[7.0, 7.0], [3.0, 7.2]]])
         m = inside_mask(coords, 8, 8)
@@ -84,8 +118,13 @@ class TestPyramid:
         assert shapes == [(100, 61), (50, 31), (25, 16), (13, 8)]
 
     def test_auto_levels(self):
-        # 1024 -> 512 -> 256 -> 128 -> 64 (stop: coarsest ~ 2*min_size)
-        assert auto_n_levels(1024, 1024, 32) == 5
+        # 1024 -> 512 -> 256 -> 128 -> 64 -> 32: the coarsest level lands in
+        # [min_size, 2*min_size) — a 2*min_size coarsest proved one level too
+        # shallow for unaided large-displacement capture (config.py
+        # min_level_size rationale; golden gate probed 0.79 vs 0.9999 SSIM)
+        assert auto_n_levels(1024, 1024, 32) == 6
+        assert auto_n_levels(48, 48, 32) == 1       # already < 2*min_size
+        assert auto_n_levels(256, 256, 16) == 5     # 256 .. 16
 
     def test_pyramid_list(self, rng):
         img = jnp.asarray(rng.random((64, 48, 3), dtype=np.float32))

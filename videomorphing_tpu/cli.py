@@ -58,9 +58,48 @@ def _add_param_overrides(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--iters", type=int, default=None, help="iters at coarsest level")
     ap.add_argument("--blend", choices=["linear", "poisson"], default=None)
     ap.add_argument("--no-quadratic-paths", action="store_true")
+    ap.add_argument("--sampling", choices=["bilinear", "bicubic"], default=None,
+                    help="final color-sampling interpolant (bicubic = sharper, "
+                         "~4x gather cost, XLA path)")
+    ap.add_argument("--flow-robust", action="store_true",
+                    help="Brox-class robust optical flow: structure-texture "
+                         "prefilter + Charbonnier + gradient constancy + TV "
+                         "(survives lighting drift; ~3x flow cost)")
+    ap.add_argument("--set", action="append", default=[], metavar="SEC.KEY=VAL",
+                    help="generic config override, e.g. --set morph.ssim_window=7 "
+                         "--set video.flow_gamma=20 (sections: morph/synth/video; "
+                         "repeatable; same fields as the project JSON)")
     ap.add_argument("--verbose", "-v", action="store_true")
     ap.add_argument("--trace", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler (TensorBoard/Perfetto) trace")
+
+
+def _apply_set_overrides(sets, mp, sp, vp):
+    """Apply ``--set section.field=value`` strings; values parse as JSON
+    first (numbers/bools), falling back to raw string. Unknown sections or
+    fields raise with the valid choices listed."""
+    secs = {"morph": mp, "synth": sp, "video": vp}
+    for item in sets:
+        try:
+            key, val = item.split("=", 1)
+            sec, field = key.split(".", 1)
+        except ValueError:
+            raise SystemExit(f"--set expects SECTION.FIELD=VALUE, got {item!r}")
+        if sec not in secs:
+            raise SystemExit(f"--set section must be one of {sorted(secs)}, got {sec!r}")
+        cfg = secs[sec]
+        if not hasattr(cfg, field):
+            names = [f.name for f in dataclasses.fields(cfg)]
+            raise SystemExit(f"{sec} has no field {field!r}; valid: {names}")
+        try:
+            parsed = json.loads(val)
+        except json.JSONDecodeError:
+            parsed = val
+        cur = getattr(cfg, field)
+        if cur is not None and not isinstance(parsed, type(cur)) and isinstance(cur, (int, float, bool)):
+            parsed = type(cur)(parsed)
+        secs[sec] = dataclasses.replace(cfg, **{field: parsed})
+    return secs["morph"], secs["synth"], secs["video"]
 
 
 def _params_from_args(args) -> tuple[MorphParams, SynthParams, VideoParams]:
@@ -80,7 +119,12 @@ def _params_from_args(args) -> tuple[MorphParams, SynthParams, VideoParams]:
         sp = dataclasses.replace(sp, blend_mode=args.blend)
     if args.no_quadratic_paths:
         sp = dataclasses.replace(sp, quadratic_paths=False)
-    return mp, sp, VideoParams()
+    if getattr(args, "sampling", None) is not None:
+        sp = dataclasses.replace(sp, sampling=args.sampling)
+    vp = VideoParams()
+    if getattr(args, "flow_robust", False):
+        vp = dataclasses.replace(vp, flow_robust=True)
+    return _apply_set_overrides(getattr(args, "set", []), mp, sp, vp)
 
 
 def cmd_pair(args) -> int:
@@ -452,10 +496,7 @@ def cmd_bench(args) -> int:
     return bench_mod.main([])
 
 
-def main(argv=None) -> int:
-    from videomorphing_tpu.utils.cache import enable_compile_cache
-
-    enable_compile_cache()
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="vmorph", description="TPU-native halfway-domain image/video morphing"
     )
@@ -520,8 +561,14 @@ def main(argv=None) -> int:
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
     p_bench.set_defaults(fn=cmd_bench)
+    return ap
 
-    args = ap.parse_args(argv)
+
+def main(argv=None) -> int:
+    from videomorphing_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    args = build_parser().parse_args(argv)
     return args.fn(args)
 
 

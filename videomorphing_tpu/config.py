@@ -41,7 +41,13 @@ class MorphParams:
 
     # --- coarse-to-fine pyramid [TOG14 s4] -------------------------------
     n_levels: int = 0             # 0 = auto: down to min(H,W) ~ min_level_size
-    min_level_size: int = 32
+    # 16, not 32: the coarsest level must be small enough that unaided
+    # displacements land inside the SSIM window's basin there. Probed on
+    # chip with the golden gates (utils/golden.py): at 256^2 a 32^2
+    # coarsest level fails to lock a (5, 8) px shift from zero init
+    # (ssim_mid 0.79), a 16^2 coarsest locks it exactly (0.9999). The
+    # extra level costs one ~16^2 solve — microseconds.
+    min_level_size: int = 16
     iters_coarse: int = 200       # iterations at the coarsest level
     iters_fine: int = 30          # iterations at the finest level (geometric in
                                   # between; probed at 480p: vs 50 the morph
@@ -109,6 +115,11 @@ class SynthParams:
     invert_iters: int = 6            # fixed-point iterations to invert x_t(p)=q
     invert_multiscale: bool = True   # run all but the last iter at half res
     fused_sampling: bool = True      # Pallas fused sampler for render warps (TPU)
+    # Final color-sampling interpolant: "bilinear" (default; fused-sampler
+    # eligible) or "bicubic" (Catmull-Rom, sharper renders, ~4x gather cost,
+    # XLA path only). Solver sampling is always bilinear — the SSIM window
+    # statistics don't benefit from a higher-order interpolant.
+    sampling: str = "bilinear"
 
     # blending [TOG14 s5.2]
     blend_mode: str = "poisson"      # "linear" | "poisson" (gradient-domain)
@@ -133,6 +144,31 @@ class VideoParams:
     flow_warps: int = 2              # warping (outer) iterations per level
                                      # (probed at 480p: vs 3, ~2e-4 mean abs)
     flow_clamp: float = 1.0          # max |du| (px) per warp iteration
+    # Brox/TV-L1-class robust option (video/flow.py _robust_level):
+    # structure-texture (high-pass) prefilter + coupled Charbonnier data
+    # penalty + gradient-constancy channels + TV-like smoothness. Survives
+    # lighting/gain drift and motion discontinuities that break plain
+    # Horn-Schunck; ~3x the FLOPs per iteration. All constants probed on a
+    # synthetic multi-scale texture with a +0.15 brightness shift
+    # (tests/test_video.py): plain HS EPE 8.2 px, robust 0.4-0.6 px. The
+    # prefilter carries most of the lighting invariance (the second-order
+    # gradient-constancy linearization alone proved too fragile to carry
+    # the flow through the pyramid at high gamma); Charbonnier handles
+    # occlusions/specular outliers; TV keeps motion boundaries sharp.
+    flow_robust: bool = False
+    flow_alpha_robust: float = 6.0   # smoothness weight in robust mode (the
+                                     # TV reweighting changes the effective
+                                     # scale, hence separate from flow_alpha)
+    flow_irls: int = 5               # lagged-nonlinearity (weight) updates
+                                     # per warp; flow_iters splits across them
+    flow_gamma: float = 10.0         # gradient-constancy weight vs intensity
+    flow_eps: float = 3.0            # Charbonnier eps, intensity units (0-255)
+    flow_eps_s: float = 0.5          # TV eps for smoothness, pixel units
+    # Structure-texture prefilter sigma (px, at the flow's working
+    # resolution): grayscale input becomes I - gauss_blur(I) + 127.5 before
+    # the solve, killing additive/low-frequency lighting. Active in robust
+    # mode only; 0 disables.
+    flow_hp_sigma: float = 6.0
     # Flow is only used to warm-start/regularize the halfway solve and for
     # occlusion masks (SURVEY.md s1.5: "any flow of similar quality
     # satisfies the contract"), so it runs at a reduced resolution and is

@@ -21,9 +21,15 @@ from videomorphing_tpu.ops.windows import gaussian_kernel_1d, separable_filter
 
 
 def auto_n_levels(h: int, w: int, min_size: int = 32, max_levels: int = 16) -> int:
-    """Number of pyramid levels so the coarsest is ~min_size on its short side."""
+    """Number of pyramid levels so the coarsest is ~min_size on its short side.
+
+    ``>=`` (not ``>``): the coarsest level lands in [min_size, 2*min_size).
+    With ``>`` a power-of-two image stopped at exactly 2*min_size — one
+    level too shallow, which measurably hurts unaided large-displacement
+    capture (the golden gate at 256^2 probed 0.79 vs 0.9999 SSIM).
+    """
     n = 1
-    while min(h, w) > min_size * 2 and n < max_levels:
+    while min(h, w) >= min_size * 2 and n < max_levels:
         h = -(-h // 2)
         w = -(-w // 2)
         n += 1

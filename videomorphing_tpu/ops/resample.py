@@ -154,6 +154,69 @@ def bilinear_sample_with_grad(img: jnp.ndarray, coords: jnp.ndarray):
     return val, dval
 
 
+def bicubic_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Catmull-Rom bicubic sampling of ``img`` (H, W, C) at (..., 2) (y, x).
+
+    Keys' cubic convolution with a = -0.5 — the classic high-quality
+    resampling filter (sharper than bilinear, no ringing worth speaking of
+    on natural images). 16 taps as 16 row gathers over the same flattened
+    (H*W, C) layout as :func:`bilinear_sample`; ~4x the gather cost, so
+    this is the *final render* quality option (SynthParams.sampling), not
+    the solver path — the solver's SSIM window statistics are insensitive
+    to the interpolant (SURVEY.md section 2 L0 wishlist row).
+
+    Out-of-range coordinates clamp to the edge; tap indices clamp per-tap
+    (equivalent to edge-replicated padding).
+    """
+    h, w = img.shape[0], img.shape[1]
+    squeeze = False
+    if img.ndim == 2:
+        img = img[..., None]
+        squeeze = True
+    c = img.shape[-1]
+
+    y = jnp.clip(coords[..., 0], 0.0, h - 1.0)
+    x = jnp.clip(coords[..., 1], 0.0, w - 1.0)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    fy = y - y0
+    fx = x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def cubic_weights(f):
+        # Catmull-Rom weights for taps at offsets (-1, 0, 1, 2)
+        f2 = f * f
+        f3 = f2 * f
+        w_m1 = -0.5 * f3 + f2 - 0.5 * f
+        w_0 = 1.5 * f3 - 2.5 * f2 + 1.0
+        w_1 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+        w_2 = 0.5 * f3 - 0.5 * f2
+        return (w_m1, w_0, w_1, w_2)
+
+    wy = cubic_weights(fy)
+    wx = cubic_weights(fx)
+
+    flat = img.reshape(h * w, c)
+    out_shape = coords.shape[:-1]
+
+    def take(dy, dx):
+        yi = jnp.clip(y0i + dy, 0, h - 1)
+        xi = jnp.clip(x0i + dx, 0, w - 1)
+        idx = (yi * w + xi).reshape(-1)
+        return jnp.take(flat, idx, axis=0).reshape(out_shape + (c,))
+
+    out = jnp.zeros(out_shape + (c,), img.dtype)
+    for iy, dy in enumerate((-1, 0, 1, 2)):
+        row = jnp.zeros(out_shape + (c,), img.dtype)
+        for ix, dx in enumerate((-1, 0, 1, 2)):
+            row = row + wx[ix][..., None] * take(dy, dx)
+        out = out + wy[iy][..., None] * row
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
 def sample_at(img: jnp.ndarray, base: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
     """Sample ``img`` at ``base + offset`` — the halfway-domain warp.
 

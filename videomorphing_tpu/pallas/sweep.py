@@ -111,9 +111,13 @@ def _pack(planes: Sequence[jnp.ndarray], gy: int, gx: int, th: int, tw: int, hal
     x = jnp.stack(planes, 0)
     x = jnp.pad(x, ((0, 0), (halo, gy * th - h + halo), (halo, gx * tw - w + halo)))
     if gx > 1:
+        # concat of overlapping static slices, NOT jnp.take: gathers are
+        # index-count bound on this TPU (~40-50 ms per 2M indices, PERF.md)
+        # and the take lowered as a column gather — it was most of the
+        # ~75 ms re-linearization pack at 1080p. Slices+concat is a pure
+        # copy pipeline XLA lowers at HBM bandwidth.
         cg = tw + 2 * halo
-        col = (jnp.arange(gx)[:, None] * tw + jnp.arange(cg)[None, :]).reshape(-1)
-        x = jnp.take(x, col, axis=2)
+        x = jnp.concatenate([x[:, :, i * tw : i * tw + cg] for i in range(gx)], axis=2)
     return x
 
 

@@ -171,7 +171,8 @@ def render_frame(
     """
     h, w = i0.shape[0], i0.shape[1]
     t = jnp.asarray(t, v.dtype)
-    use_fused = sp.fused_sampling and jax.default_backend() == "tpu"
+    bicubic = sp.sampling == "bicubic"
+    use_fused = sp.fused_sampling and not bicubic and jax.default_backend() == "tpu"
     p, v_at_p = invert_path_with_field(
         v, b, t, sp.invert_iters, multiscale=sp.invert_multiscale,
         use_fused=sp.fused_sampling,
@@ -191,11 +192,16 @@ def render_frame(
 
         s0, s1 = fused_sample([i0s, i1s], [phi0, phi1])
     else:
-        s0 = bilinear_sample(i0s, phi0)
-        s1 = bilinear_sample(i1s, phi1)
+        from videomorphing_tpu.ops.resample import bicubic_sample
+
+        sampler = bicubic_sample if bicubic else bilinear_sample
+        s0 = sampler(i0s, phi0)
+        s1 = sampler(i1s, phi1)
     if conf0 is not None and conf1 is not None:
-        w0, c0 = s0[..., :-1], s0[..., -1]
-        w1, c1 = s1[..., :-1], s1[..., -1]
+        # clip: the Catmull-Rom interpolant can overshoot, and the ridden-
+        # along confidence channel must stay a weight in [0, 1]
+        w0, c0 = s0[..., :-1], jnp.clip(s0[..., -1], 0.0, 1.0)
+        w1, c1 = s1[..., :-1], jnp.clip(s1[..., -1], 0.0, 1.0)
     else:
         w0, w1 = s0, s1
         c0 = c1 = None

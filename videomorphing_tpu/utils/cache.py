@@ -21,6 +21,12 @@ def enable_compile_cache(cache_dir: str | None = None) -> str:
             "VMORPH_COMPILE_CACHE",
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "jax"),
         )
+    if cache_dir in ("off", "0", "disabled", ""):
+        # Escape hatch: the persistent cache's executable (de)serialization
+        # has segfaulted inside jaxlib on large CPU shard_map executables
+        # (observed twice in the test suite, once on get and once on put,
+        # with a fresh cache dir both times). Tests disable it entirely.
+        return ""
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -30,6 +30,7 @@ frame and the SSIM drops.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -46,13 +47,16 @@ class GoldenCase(NamedTuple):
     #                        pins the solved field at edges where v_true != 0)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _texture(key, ys, xs, channels: int = 3, n_waves: int = 24,
              min_period: float = 10.0, max_period: float = 80.0) -> jnp.ndarray:
     """Band-limited random texture evaluated at arbitrary float coords.
 
     tex(y, x) = 0.5 + sum_k a_k cos(wy_k y + wx_k x + psi_k), per channel,
     amplitudes normalized so values stay in [0, 1]. A pure function of the
-    coordinates — warped evaluations are exact, never resampled.
+    coordinates — warped evaluations are exact, never resampled. Jitted:
+    the eager form paid ~6 min of tunnel latency per case on the TPU
+    backend (measured).
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     period = jnp.exp(
@@ -159,17 +163,30 @@ def run_golden(
     else:
         raise ValueError(f"unknown golden case {case!r}")
 
+    from videomorphing_tpu.ops.ssim import dssim_map
+    from videomorphing_tpu.synth.render import render_frame
+
     morpher = ImageMorpher(mp, sp)
     art = morpher.solve(g.i0, g.i1)
-    frame = morpher.render_one(g.i0, g.i1, art, 0.5)
 
     c = g.crop
-    sl = (slice(c, -c), slice(c, -c))
-    err = jnp.linalg.norm(art.v[sl] - g.v_true[sl], axis=-1)
+
+    # render + metrics under ONE jit: the eager form pays ~30 ms tunnel
+    # latency per op on this backend (PERF.md methodology) and takes minutes
+    @jax.jit
+    def measure(i0, i1, v, b, mid_true, v_true):
+        frame = render_frame(i0, i1, v, b, 0.5, sp)
+        sl = (slice(c, -c), slice(c, -c))
+        s = 1.0 - jnp.mean(dssim_map(frame[sl], mid_true[sl]))
+        err = jnp.linalg.norm(v[sl] - v_true[sl], axis=-1)
+        return s, jnp.mean(err), jnp.percentile(err, 99.0)
+
+    b = art.b if art.b is not None else jnp.zeros_like(art.v)
+    s, e_mean, e_p99 = measure(g.i0, g.i1, art.v, b, g.mid_true, g.v_true)
     return {
         "case": case,
-        "ssim_mid": round(ssim(frame, g.mid_true, c), 5),
-        "v_err_mean": round(float(jnp.mean(err)), 4),
-        "v_err_p99": round(float(jnp.percentile(err, 99.0)), 4),
+        "ssim_mid": round(float(s), 5),
+        "v_err_mean": round(float(e_mean), 4),
+        "v_err_p99": round(float(e_p99), 4),
         "crop": c,
     }

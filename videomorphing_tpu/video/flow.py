@@ -22,15 +22,45 @@ from videomorphing_tpu.ops.resample import bilinear_sample, grid_coords
 from videomorphing_tpu.solver.ctf import resample_field
 
 
-def _gray(img: jnp.ndarray) -> jnp.ndarray:
+def _gray(img: jnp.ndarray, vp: VideoParams | None = None) -> jnp.ndarray:
     """Channel-mean luminance scaled to [0, 255].
 
     Horn-Schunck's alpha is conventionally quoted against 8-bit intensity
     units; scaling here keeps ``VideoParams.flow_alpha`` in the familiar
     range (~5-30) while the pipeline stays in [0, 1] floats.
+
+    In robust mode a structure-texture prefilter follows (Wedel et al.'s
+    ROF-style decomposition, here a Gaussian high-pass): the low-frequency
+    band — where additive/smooth lighting changes live — is removed before
+    the solve. Probed: a +0.15 brightness shift takes plain HS from 0.1 to
+    8.2 px EPE; the prefilter alone brings it back to ~0.5.
     """
     g = jnp.mean(img, axis=-1) if img.ndim == 3 else img
-    return g * 255.0
+    g = g * 255.0
+    if vp is not None and vp.flow_robust and vp.flow_hp_sigma > 0:
+        from videomorphing_tpu.ops.windows import gaussian_kernel_1d, separable_filter
+
+        sigma = vp.flow_hp_sigma
+        k = gaussian_kernel_1d(int(4 * sigma) | 1, sigma, dtype=g.dtype)
+        low = separable_filter(g[..., None], k)[..., 0]
+        g = g - low + 127.5
+    return g
+
+
+def _shifts(f):
+    """Edge-replicated 4-neighborhood of a (H, W[, C]) array: up/down/left/right."""
+    up = jnp.concatenate([f[:1], f[:-1]], 0)
+    dn = jnp.concatenate([f[1:], f[-1:]], 0)
+    lf = jnp.concatenate([f[:, :1], f[:, :-1]], 1)
+    rt = jnp.concatenate([f[:, 1:], f[:, -1:]], 1)
+    return up, dn, lf, rt
+
+
+def _deriv(f):
+    """Central differences (dy, dx) of a (H, W) image (roll-based interior)."""
+    fy = 0.5 * (jnp.roll(f, -1, 0) - jnp.roll(f, 1, 0))
+    fx = 0.5 * (jnp.roll(f, -1, 1) - jnp.roll(f, 1, 1))
+    return fy, fx
 
 
 def _hs_level(a: jnp.ndarray, b: jnp.ndarray, u: jnp.ndarray, vp: VideoParams) -> jnp.ndarray:
@@ -40,12 +70,8 @@ def _hs_level(a: jnp.ndarray, b: jnp.ndarray, u: jnp.ndarray, vp: VideoParams) -
     g = grid_coords(h, w, dtype=a.dtype)
     alpha2 = vp.flow_alpha * vp.flow_alpha
 
-    # 4-neighbor average (edge-replicated) for the Jacobi update
     def navg(f):
-        up = jnp.concatenate([f[:1], f[:-1]], 0)
-        dn = jnp.concatenate([f[1:], f[-1:]], 0)
-        lf = jnp.concatenate([f[:, :1], f[:, :-1]], 1)
-        rt = jnp.concatenate([f[:, 1:], f[:, -1:]], 1)
+        up, dn, lf, rt = _shifts(f)
         return 0.25 * (up + dn + lf + rt)
 
     for _ in range(vp.flow_warps):
@@ -53,8 +79,7 @@ def _hs_level(a: jnp.ndarray, b: jnp.ndarray, u: jnp.ndarray, vp: VideoParams) -
         bw = bilinear_sample(b, g + u_w)
         it = bw - a
         # derivatives of the warped target (standard HS linearization)
-        iy = 0.5 * (jnp.roll(bw, -1, 0) - jnp.roll(bw, 1, 0))
-        ix = 0.5 * (jnp.roll(bw, -1, 1) - jnp.roll(bw, 1, 1))
+        iy, ix = _deriv(bw)
         denom = alpha2 + ix * ix + iy * iy
 
         # Jacobi on the TOTAL flow (so smoothness acts on u, not just the
@@ -71,6 +96,123 @@ def _hs_level(a: jnp.ndarray, b: jnp.ndarray, u: jnp.ndarray, vp: VideoParams) -
         # each warp's correction so the outer loop stays contractive
         u = u_w + jnp.clip(ut - u_w, -vp.flow_clamp, vp.flow_clamp)
     return u
+
+
+def _robust_level(a: jnp.ndarray, b: jnp.ndarray, u: jnp.ndarray, vp: VideoParams) -> jnp.ndarray:
+    """Brox-class robust flow at one level (``VideoParams.flow_robust``).
+
+    Same warping-scheme skeleton as :func:`_hs_level`, three upgrades from
+    Brox et al. 2004 (the flow family the reference is believed to wrap,
+    SURVEY.md section 1.5 / section 3 "Optical flow" row):
+
+    - **Charbonnier (sub-L1) data penalty** via lagged IRLS weights
+      ``psi'(r^2) = 1 / (2 sqrt(r^2 + eps^2))`` — outliers (occlusions,
+      specularities) stop dominating the quadratic data term.
+    - **Gradient-constancy channels**: the data term also matches the
+      spatial derivatives (Iy, Ix), weighted ``flow_gamma``. Derivatives
+      are invariant to additive brightness change, which is exactly what
+      breaks plain Horn-Schunck on real footage with lighting drift.
+    - **Robust (TV-like) smoothness**: the Jacobi neighbor average is
+      reweighted by lagged ``1 / sqrt(|du_n|^2 + eps^2)`` per edge, so
+      motion discontinuities stop being smeared.
+
+    With three data channels the per-pixel normal matrix is a full 2x2
+    ``A = w_s*alpha^2*I + sum_c w_c g_c g_c^T``; the update solves it in
+    closed form (vectorized 2x2 inverse) instead of Sherman-Morrison.
+    """
+    h, w = a.shape
+    g = grid_coords(h, w, dtype=a.dtype)
+    alpha2 = vp.flow_alpha_robust * vp.flow_alpha_robust
+    eps2 = vp.flow_eps * vp.flow_eps          # data, intensity units (0-255 scale)
+    eps2_s = vp.flow_eps_s * vp.flow_eps_s    # smoothness, pixel units
+    gamma = vp.flow_gamma
+
+    ay, ax = _deriv(a)
+
+    for _ in range(vp.flow_warps):
+        u_w = u
+        bw = bilinear_sample(b, g + u_w)
+        bwy, bwx = _deriv(bw)
+        # second derivatives of the warped target, for linearizing the
+        # gradient-constancy residuals
+        byy, byx = _deriv(bwy)
+        bxy, bxx = _deriv(bwx)
+
+        # channels: (temporal residual at u_w, d/dy, d/dx), rows = [I, gamma*Iy, gamma*Ix]
+        chans = (
+            (bw - a, bwy, bwx, 1.0),
+            (bwy - ay, byy, byx, gamma),
+            (bwx - ax, bxy, bxx, gamma),
+        )
+
+        # classic lagged-nonlinearity structure: an outer IRLS loop freezes
+        # the Charbonnier/TV weights, an inner damped Jacobi loop solves the
+        # resulting LINEAR system. (Recomputing the weights at every Jacobi
+        # step — the obvious fusion — oscillates: probed EPE 1.25 px on a
+        # clean translation the plain solver nails at 0.13.)
+        n_irls = vp.flow_irls
+        inner = max(vp.flow_iters // n_irls, 1)
+
+        def irls_body(_, ut):
+            du = ut - u_w
+            # frozen per-edge TV smoothness weights at the IRLS point
+            n_u, n_d, n_l, n_r = _shifts(ut)
+            ws = [
+                1.0 / jnp.sqrt(jnp.sum((n - ut) ** 2, -1) + eps2_s)
+                for n in (n_u, n_d, n_l, n_r)
+            ]
+            wsum = ws[0] + ws[1] + ws[2] + ws[3]
+            s = alpha2 * wsum * 0.25
+
+            # ONE coupled Charbonnier over the combined residual (Brox's
+            # psi(r_I^2 + gamma |r_gradI|^2)), NOT one per channel: probed
+            # per-channel weights spike wherever a single derivative channel
+            # hits a spurious zero-residual match and the flow locks onto it
+            # (clean-translation EPE 0.89 px vs 0.07 with the coupled form)
+            r2_sum = jnp.zeros_like(s)
+            for it_c, gy_c, gx_c, cw in chans:
+                r = it_c + gy_c * du[..., 0] + gx_c * du[..., 1]
+                r2_sum = r2_sum + cw * r * r
+            w_pix = 1.0 / jnp.sqrt(r2_sum + eps2)
+
+            # frozen weights; accumulate the per-pixel 2x2 normal matrix and
+            # the u-independent part of the rhs
+            a11 = s
+            a12 = jnp.zeros_like(s)
+            a22 = s
+            b1 = jnp.zeros_like(s)
+            b2 = jnp.zeros_like(s)
+            for it_c, gy_c, gx_c, cw in chans:
+                wc = cw * w_pix
+                a11 = a11 + wc * gy_c * gy_c
+                a12 = a12 + wc * gy_c * gx_c
+                a22 = a22 + wc * gx_c * gx_c
+                c = it_c - gy_c * u_w[..., 0] - gx_c * u_w[..., 1]
+                b1 = b1 - wc * gy_c * c
+                b2 = b2 - wc * gx_c * c
+            det = a11 * a22 - a12 * a12
+
+            def jac(_, ui):
+                un_u, un_d, un_l, un_r = _shifts(ui)
+                ua = (
+                    ws[0][..., None] * un_u + ws[1][..., None] * un_d
+                    + ws[2][..., None] * un_l + ws[3][..., None] * un_r
+                ) / wsum[..., None]
+                r1 = s * ua[..., 0] + b1
+                r2 = s * ua[..., 1] + b2
+                uy = (a22 * r1 - a12 * r2) / det
+                ux = (a11 * r2 - a12 * r1) / det
+                return 0.5 * ui + 0.5 * jnp.stack([uy, ux], -1)
+
+            return jax.lax.fori_loop(0, inner, jac, ut)
+
+        ut = jax.lax.fori_loop(0, n_irls, irls_body, u_w)
+        u = u_w + jnp.clip(ut - u_w, -vp.flow_clamp, vp.flow_clamp)
+    return u
+
+
+def _level_solver(vp: VideoParams):
+    return _robust_level if vp.flow_robust else _hs_level
 
 
 def flow_pair(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams = VideoParams()) -> jnp.ndarray:
@@ -94,16 +236,17 @@ def flow_pair(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams = VideoParams()) -
 
 
 def _flow_pair_full(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams) -> jnp.ndarray:
-    ga, gb = _gray(a), _gray(b)
+    ga, gb = _gray(a, vp), _gray(b, vp)
     h, w = ga.shape
     n_levels = vp.flow_levels or auto_n_levels(h, w, 16)
     shapes = pyramid_shapes(h, w, n_levels)
     pa = gaussian_pyramid(ga[..., None], n_levels)
     pb = gaussian_pyramid(gb[..., None], n_levels)
 
+    solve = _level_solver(vp)
     u = jnp.zeros(shapes[-1] + (2,), ga.dtype)
     for level in range(n_levels - 1, -1, -1):
-        u = _hs_level(pa[level][..., 0], pb[level][..., 0], u, vp)
+        u = solve(pa[level][..., 0], pb[level][..., 0], u, vp)
         if level > 0:
             u = resample_field(u, shapes[level - 1])
     return u
@@ -125,18 +268,19 @@ def flow_pair_bidir(
         a = jax.image.resize(a, (hs, ws) + a.shape[2:], method="linear")
         b = jax.image.resize(b, (hs, ws) + b.shape[2:], method="linear")
 
-    ga, gb = _gray(a), _gray(b)
+    ga, gb = _gray(a, vp), _gray(b, vp)
     h, w = ga.shape
     n_levels = vp.flow_levels or auto_n_levels(h, w, 16)
     shapes = pyramid_shapes(h, w, n_levels)
     pa = gaussian_pyramid(ga[..., None], n_levels)
     pb = gaussian_pyramid(gb[..., None], n_levels)
 
+    solve = _level_solver(vp)
     uf = jnp.zeros(shapes[-1] + (2,), ga.dtype)
     ub = uf
     for level in range(n_levels - 1, -1, -1):
-        uf = _hs_level(pa[level][..., 0], pb[level][..., 0], uf, vp)
-        ub = _hs_level(pb[level][..., 0], pa[level][..., 0], ub, vp)
+        uf = solve(pa[level][..., 0], pb[level][..., 0], uf, vp)
+        ub = solve(pb[level][..., 0], pa[level][..., 0], ub, vp)
         if level > 0:
             uf = resample_field(uf, shapes[level - 1])
             ub = resample_field(ub, shapes[level - 1])
