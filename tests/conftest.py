@@ -12,6 +12,18 @@ at import).
 """
 
 import os
+import resource
+
+# The default 8 MB stack has segfaulted the XLA CPU compiler mid-suite on
+# large shard_map executables (deep LLVM/HLO pass recursion; crash in
+# backend_compile_and_load with 122 GB RAM free). Raise to the hard limit
+# before jax loads so the main thread's stack can grow.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except (ValueError, OSError):
+        pass
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Disable the persistent XLA compile cache under pytest: CLI entry points

@@ -25,10 +25,13 @@ Strategy — exploit that the halfway field varies slowly within a tile:
    window, selected per pixel by an equality mask, accumulated in vector
    registers (no control flow — predication makes branches pointless), and
    combined with the bilinear weights once at the end.
-4. If any tile's variation exceeds the budget, a global flag routes the
-   whole call to the exact XLA gather path — the kernel is a fast path,
-   never an approximation. Outputs are bit-equivalent to
-   ``ops.resample.bilinear_sample_with_grad`` (tests/test_pallas.py).
+4. If a tile's variation exceeds the budget, its horizontal BAND
+   (``_row_bands``: <= 4 bands of tile rows per frame) routes to the exact
+   XLA gather path — the kernel is a fast path, never an approximation,
+   and a wild region only slows its own band (measured: converged fields
+   bust the budget in ~19% of tiles, localized). Outputs are
+   bit-equivalent to ``ops.resample.bilinear_sample_with_grad``
+   (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -90,7 +93,13 @@ def _prep_image(
     Returns (dev, devx, fy, fx, oky, okx, row_start, phase, col_start,
     bx_frac, fits): dev/devx are the per-pixel residual offsets relative to
     each tile's base; planes are (gy*TH, gx*TW); bases are (gy, gx).
+
+    ``h, w`` are the SOURCE image bounds (clipping); the coords arrays may
+    cover only a horizontal band of the output (``gy`` tile rows worth) —
+    the per-band fallback dispatch slices coords to tile-row bands so a
+    wild region routes only its own band to the XLA path.
     """
+    hb, wb = coords_y.shape
     y = jnp.clip(coords_y, 0.0, h - 1.0)
     x = jnp.clip(coords_x, 0.0, w - 1.0)
     iy = jnp.clip(jnp.floor(y), 0.0, h - 2.0)
@@ -107,7 +116,7 @@ def _prep_image(
     col_in = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) % tw
 
     def pad_to(a, fill):
-        return jnp.pad(a, ((0, hp - h), (0, wp - w)), constant_values=fill)
+        return jnp.pad(a, ((0, hp - hb), (0, wp - wb)), constant_values=fill)
 
     big = jnp.int32(1 << 28)
     rel_y = pad_to(iy, big) - row_in
@@ -125,7 +134,7 @@ def _prep_image(
     dev = jnp.where(rel_y >= big // 2, 0, rel_y - rep_y)
     devx = jnp.where(rel_x >= big // 2, 0, rel_x - rep_x)
 
-    inside = pad_to(jnp.ones((h, w), jnp.int32), 0)
+    inside = pad_to(jnp.ones((hb, wb), jnp.int32), 0)
     fits = (
         jnp.max(jnp.where(inside > 0, dev, 0)) <= d_budget - 1
     ) & (jnp.max(jnp.where(inside > 0, devx, 0)) <= dx_budget - 1)
@@ -341,6 +350,28 @@ def _build_sample_call(
 _sample_call_cached = functools.lru_cache(maxsize=None)(_build_sample_call)
 
 
+N_FALLBACK_BANDS = 4
+
+
+def _row_bands(gy: int, h: int, th: int, n_bands: int = N_FALLBACK_BANDS):
+    """Split ``gy`` tile rows into <= n_bands contiguous bands.
+
+    Returns [(tile_row_start, tile_row_end, px_row_start, px_row_end)].
+    The fast-path/fallback decision is taken PER BAND instead of per frame:
+    converged fields typically bust the residual budget in a few localized
+    tiles (measured 19% of tiles at the finest level on a rotational field),
+    and an all-or-nothing dispatch was throwing the whole frame to the XLA
+    gather path for them.
+    """
+    n = min(n_bands, gy)
+    bands = []
+    for k in range(n):
+        t0 = (k * gy) // n
+        t1 = ((k + 1) * gy) // n
+        bands.append((t0, t1, t0 * th, min(t1 * th, h)))
+    return bands
+
+
 def fused_warp_planes(src0, src1, v, *, interpret=None) -> jnp.ndarray:
     """Both halfway warps + derivatives as a RAW plane stack (6C, H, W).
 
@@ -349,6 +380,9 @@ def fused_warp_planes(src0, src1, v, *, interpret=None) -> jnp.ndarray:
     re-linearization feeds the kernel output STRAIGHT into the static pack
     with no channel-major round trip (the (H, W, C, 2) moveaxis pair cost
     several ms per re-warp at 1080p).
+
+    Fast/fallback dispatch is per horizontal band (``_row_bands``): only
+    bands whose tiles bust the residual budget pay the XLA gather path.
     """
     if not isinstance(src0, WarpSource):
         src0 = make_warp_source(src0)
@@ -362,32 +396,39 @@ def fused_warp_planes(src0, src1, v, *, interpret=None) -> jnp.ndarray:
 
     c0 = g - v
     c1 = g + v
-    p0 = _prep_image(c0[..., 0], c0[..., 1], h, w, gy, gx)
-    p1 = _prep_image(c1[..., 0], c1[..., 1], h, w, gy, gx)
-    fits = p0[-1] & p1[-1]
 
-    def pallas_path(_):
-        call = _warp_call_cached(C, gy, gx, interpret)
-        bases = jnp.stack(
-            [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
-        ).astype(jnp.int32)
-        idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
-        idxf = jnp.stack(
-            [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
-        ).astype(jnp.float32)
-        (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
-        return out[:, :h, :w].astype(v.dtype)
+    outs = []
+    for (t0, t1, rs, re) in _row_bands(gy, h, TH):
+        bt = t1 - t0
+        c0b, c1b = c0[rs:re], c1[rs:re]
+        p0 = _prep_image(c0b[..., 0], c0b[..., 1], h, w, bt, gx)
+        p1 = _prep_image(c1b[..., 0], c1b[..., 1], h, w, bt, gx)
+        fits = p0[-1] & p1[-1]
 
-    def xla_path(_):
-        w0, dw0 = bilinear_sample_with_grad(i0, c0)
-        w1, dw1 = bilinear_sample_with_grad(i1, c1)
-        planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
-        for src in (dw0, dw1):
-            for c in range(C):
-                planes += [src[..., c, 0], src[..., c, 1]]
-        return jnp.stack(planes, 0)
+        def pallas_path(_, p0=p0, p1=p1, bt=bt, rs=rs, re=re):
+            call = _warp_call_cached(C, bt, gx, interpret)
+            bases = jnp.stack(
+                [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
+            ).astype(jnp.int32)
+            idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
+            idxf = jnp.stack(
+                [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
+            ).astype(jnp.float32)
+            (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
+            return out[:, : re - rs, :w].astype(v.dtype)
 
-    return jax.lax.cond(fits, pallas_path, xla_path, None)
+        def xla_path(_, c0b=c0b, c1b=c1b):
+            w0, dw0 = bilinear_sample_with_grad(i0, c0b)
+            w1, dw1 = bilinear_sample_with_grad(i1, c1b)
+            planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
+            for src in (dw0, dw1):
+                for c in range(C):
+                    planes += [src[..., c, 0], src[..., c, 1]]
+            return jnp.stack(planes, 0)
+
+        outs.append(jax.lax.cond(fits, pallas_path, xla_path, None))
+
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def fused_sample(srcs, coords, *, interpret=None):
@@ -397,8 +438,10 @@ def fused_sample(srcs, coords, *, interpret=None):
     the same shape); ``coords``: matching sequence of (H, W, 2) maps in
     (y, x). Returns a list of (H, W, C) sample planes. Twin of
     ``[bilinear_sample(img_k, coords_k)]`` (same edge-clamp semantics);
-    Pallas-fast when every tile's coordinate variation fits the residual
-    budget, exact-XLA fallback otherwise.
+    Pallas-fast per horizontal band when that band's coordinate variation
+    fits the residual budget, exact-XLA fallback per band otherwise
+    (``_row_bands`` — converged render fields bust the budget in localized
+    regions, not frame-wide).
     """
     srcs = [s if isinstance(s, WarpSource) else make_warp_source(s) for s in srcs]
     n_imgs = len(srcs)
@@ -411,80 +454,93 @@ def fused_sample(srcs, coords, *, interpret=None):
     interpret = _auto_interpret(interpret)
     gy, gx = _cdiv(h, TH_S), _cdiv(w, TW_S)
 
-    # Cheap sufficient pre-screen BEFORE the expensive per-tile prep: the
-    # per-tile residual is bounded by the clamped displacement's variation,
-    # variation <= th*max|d_y row-diff| + tw*max|d_x col-diff|. When real
-    # fields are wild (frequent at full res) this skips straight to the
-    # XLA path instead of paying ~10-20 ms of min-reductions per map only
-    # to cond them away.
     g = grid_coords(h, w, coords[0].dtype)
 
-    def _screen(co):
-        d = jnp.stack(
-            [
-                jnp.clip(co[..., 0], 0.0, h - 1.0),
-                jnp.clip(co[..., 1], 0.0, w - 1.0),
-            ],
-            -1,
-        ) - g
-        dy_dy = jnp.max(jnp.abs(jnp.diff(d[..., 0], axis=0)))
-        dy_dx = jnp.max(jnp.abs(jnp.diff(d[..., 0], axis=1)))
-        dx_dy = jnp.max(jnp.abs(jnp.diff(d[..., 1], axis=0)))
-        dx_dx = jnp.max(jnp.abs(jnp.diff(d[..., 1], axis=1)))
-        ok_r = TH_S * dy_dy + TW_S * dy_dx <= D - 2
-        ok_c = TH_S * dx_dy + TW_S * dx_dx <= DX_SAMPLE - 2
-        return ok_r & ok_c
+    band_outs = []
+    for (t0, t1, rs, re) in _row_bands(gy, h, TH_S):
+        bt = t1 - t0
+        cb = [co[rs:re] for co in coords]
+        gb = g[rs:re]
 
-    tame = _screen(coords[0])
-    for co in coords[1:]:
-        tame = tame & _screen(co)
+        # Cheap sufficient pre-screen BEFORE the expensive per-tile prep:
+        # the per-tile residual is bounded by the clamped displacement's
+        # variation, variation <= th*max|d_y row-diff| + tw*max|d_x
+        # col-diff|. When a band is wild this skips straight to the XLA
+        # path instead of paying the min-reduction prep only to cond it
+        # away.
+        def _screen(co):
+            d = jnp.stack(
+                [
+                    jnp.clip(co[..., 0], 0.0, h - 1.0),
+                    jnp.clip(co[..., 1], 0.0, w - 1.0),
+                ],
+                -1,
+            ) - gb
+            dy_dy = jnp.max(jnp.abs(jnp.diff(d[..., 0], axis=0)))
+            dy_dx = jnp.max(jnp.abs(jnp.diff(d[..., 0], axis=1)))
+            dx_dy = jnp.max(jnp.abs(jnp.diff(d[..., 1], axis=0)))
+            dx_dx = jnp.max(jnp.abs(jnp.diff(d[..., 1], axis=1)))
+            ok_r = TH_S * dy_dy + TW_S * dy_dx <= D - 2
+            ok_c = TH_S * dx_dy + TW_S * dx_dx <= DX_SAMPLE - 2
+            return ok_r & ok_c
 
-    def pallas_prep_path(_):
-        preps = [
-            _prep_image(
-                co[..., 0], co[..., 1], h, w, gy, gx,
-                dx_budget=DX_SAMPLE, th=TH_S, tw=TW_S,
-            )
-            for co in coords
-        ]
-        fits = preps[0][-1]
-        for p_ in preps[1:]:
-            fits = fits & p_[-1]
+        tame = _screen(cb[0])
+        for co in cb[1:]:
+            tame = tame & _screen(co)
 
-        def kernel_path(_):
-            call = _sample_call_cached(c_blk, nc, n_imgs, gy, gx, interpret)
-            bases = jnp.stack(
-                [p_[i] for p_ in preps for i in (6, 7, 8, 9)], axis=-1
-            ).astype(jnp.int32).reshape(gy, gx, 4 * n_imgs)
-            idxi = jnp.stack(
-                [p_[i] for p_ in preps for i in (0, 1)], 0
-            ).astype(jnp.int32)
-            idxf = jnp.stack(
-                [p_[i] for p_ in preps for i in (2, 3)], 0
-            ).astype(jnp.float32)
-            (out,) = call(bases, *[s.phases for s in srcs], idxi, idxf)
-            out = out[:, :, :h, :w]
+        def xla_path(_, cb=cb):
+            from videomorphing_tpu.ops.resample import bilinear_sample
+
             return tuple(
-                jnp.moveaxis(
-                    jnp.concatenate(
-                        [out[k, c_blk * im : c_blk * (im + 1)] for k in range(nc)], 0
-                    ),
-                    0, -1,
-                ).astype(coords[im].dtype)
-                for im in range(n_imgs)
+                bilinear_sample(s.img, co) for s, co in zip(srcs, cb)
             )
 
-        # the screen is sufficient, but keep the exact check as a backstop
-        return jax.lax.cond(fits, kernel_path, xla_path, None)
+        def pallas_prep_path(_, cb=cb, bt=bt, rs=rs, re=re, xla_path=xla_path):
+            preps = [
+                _prep_image(
+                    co[..., 0], co[..., 1], h, w, bt, gx,
+                    dx_budget=DX_SAMPLE, th=TH_S, tw=TW_S,
+                )
+                for co in cb
+            ]
+            fits = preps[0][-1]
+            for p_ in preps[1:]:
+                fits = fits & p_[-1]
 
-    def xla_path(_):
-        from videomorphing_tpu.ops.resample import bilinear_sample
+            def kernel_path(_):
+                call = _sample_call_cached(c_blk, nc, n_imgs, bt, gx, interpret)
+                bases = jnp.stack(
+                    [p_[i] for p_ in preps for i in (6, 7, 8, 9)], axis=-1
+                ).astype(jnp.int32).reshape(bt, gx, 4 * n_imgs)
+                idxi = jnp.stack(
+                    [p_[i] for p_ in preps for i in (0, 1)], 0
+                ).astype(jnp.int32)
+                idxf = jnp.stack(
+                    [p_[i] for p_ in preps for i in (2, 3)], 0
+                ).astype(jnp.float32)
+                (out,) = call(bases, *[s.phases for s in srcs], idxi, idxf)
+                out = out[:, :, : re - rs, :w]
+                return tuple(
+                    jnp.moveaxis(
+                        jnp.concatenate(
+                            [out[k, c_blk * im : c_blk * (im + 1)] for k in range(nc)], 0
+                        ),
+                        0, -1,
+                    ).astype(cb[im].dtype)
+                    for im in range(n_imgs)
+                )
 
-        return tuple(
-            bilinear_sample(s.img, co) for s, co in zip(srcs, coords)
-        )
+            # the screen is sufficient, but keep the exact check as a backstop
+            return jax.lax.cond(fits, kernel_path, xla_path, None)
 
-    return list(jax.lax.cond(tame, pallas_prep_path, xla_path, None))
+        band_outs.append(jax.lax.cond(tame, pallas_prep_path, xla_path, None))
+
+    if len(band_outs) == 1:
+        return list(band_outs[0])
+    return [
+        jnp.concatenate([b[im] for b in band_outs], axis=0)
+        for im in range(n_imgs)
+    ]
 
 
 def _auto_interpret(interpret):
@@ -494,53 +550,25 @@ def _auto_interpret(interpret):
 
 
 def fused_warp_pair(src0, src1, v, *, interpret=None):
-    """Both halfway warps with derivatives: Pallas-fast when the field is
-    tame, exact-XLA otherwise.
+    """Both halfway warps with derivatives: Pallas-fast per band when the
+    field is tame there, exact-XLA per band otherwise.
 
     ``src0/src1``: :class:`WarpSource` (preferred — build once per level) or
     raw (H, W, C) images. Twin of ``(bilinear_sample_with_grad(i0, g - v),
     bilinear_sample_with_grad(i1, g + v))``; returns (w0, dw0, w1, dw1).
+    Thin unpacking wrapper over :func:`fused_warp_planes` (shares its
+    per-band fallback dispatch).
     """
     if not isinstance(src0, WarpSource):
         src0 = make_warp_source(src0)
     if not isinstance(src1, WarpSource):
         src1 = make_warp_source(src1)
-    i0, i1 = src0.img, src1.img
-    h, w, C = i0.shape
-    interpret = _auto_interpret(interpret)
-    gy, gx = _cdiv(h, TH), _cdiv(w, TW)
-    g = grid_coords(h, w, v.dtype)
+    h, w, C = src0.img.shape
+    out = fused_warp_planes(src0, src1, v, interpret=interpret)
+    w0 = jnp.moveaxis(out[0:C], 0, -1)
+    w1 = jnp.moveaxis(out[C : 2 * C], 0, -1)
+    dw0 = jnp.moveaxis(out[2 * C : 4 * C].reshape(C, 2, h, w), (0, 1), (2, 3))
+    dw1 = jnp.moveaxis(out[4 * C : 6 * C].reshape(C, 2, h, w), (0, 1), (2, 3))
+    return w0, dw0, w1, dw1
 
-    c0 = g - v
-    c1 = g + v
-    p0 = _prep_image(c0[..., 0], c0[..., 1], h, w, gy, gx)
-    p1 = _prep_image(c1[..., 0], c1[..., 1], h, w, gy, gx)
-    fits = p0[-1] & p1[-1]
 
-    def pallas_path(_):
-        call = _warp_call_cached(C, gy, gx, interpret)
-        bases = jnp.stack(
-            [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
-        ).astype(jnp.int32)
-        idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
-        idxf = jnp.stack(
-            [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
-        ).astype(jnp.float32)
-        (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
-        out = out[:, :h, :w]
-        w0 = jnp.moveaxis(out[0:C], 0, -1).astype(v.dtype)
-        w1 = jnp.moveaxis(out[C : 2 * C], 0, -1).astype(v.dtype)
-        dw0 = jnp.moveaxis(
-            out[2 * C : 4 * C].reshape(C, 2, h, w), (0, 1), (2, 3)
-        ).astype(v.dtype)
-        dw1 = jnp.moveaxis(
-            out[4 * C : 6 * C].reshape(C, 2, h, w), (0, 1), (2, 3)
-        ).astype(v.dtype)
-        return w0, dw0, w1, dw1
-
-    def xla_path(_):
-        w0, dw0 = bilinear_sample_with_grad(i0, c0)
-        w1, dw1 = bilinear_sample_with_grad(i1, c1)
-        return w0, dw0, w1, dw1
-
-    return jax.lax.cond(fits, pallas_path, xla_path, None)
