@@ -1,0 +1,165 @@
+"""Profile the warm-solve inner loop at 1080p: iteration vs re-linearization.
+
+Run from /root/repo on the TPU:  python scripts/profile_relin.py [--trace DIR]
+
+The warm frame scan is the largest north-star phase (~0.5 s/frame, PERF.md);
+its cost = warm_iters * iter_cost + n_relins * relin_cost. This script
+separates the two so the "warp directly into the sweep-pack layout" and
+"bf16 static pack" ideas (TODO.md perf ranks 1-2) can be judged on data:
+
+ 1. time N iterations at relin_every=BIG (pure iteration cost);
+ 2. time the same N at relin_every=1 (iteration + relin every step);
+ 3. difference / N = relin cost; also time make_state alone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from videomorphing_tpu.config import MorphParams
+from videomorphing_tpu.solver.energy import build_level_data
+from videomorphing_tpu.solver.descent import make_level_solver
+from videomorphing_tpu.utils.cache import enable_compile_cache
+
+
+def fetch(x):
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def make_pair(h, w, seed):
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def build(key):
+        yy, xx = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
+        ks = jax.random.split(key, 3)
+        img = jnp.zeros((h, w))
+        n_waves = 24
+        for i in range(n_waves):
+            per = jnp.exp(jax.random.uniform(
+                jax.random.fold_in(ks[0], i), (),
+                minval=jnp.log(12.0), maxval=jnp.log(h / 3.0)))
+            ang = jax.random.uniform(jax.random.fold_in(ks[1], i), (), minval=0.0, maxval=6.28)
+            ph = jax.random.uniform(jax.random.fold_in(ks[2], i), (), minval=0.0, maxval=6.28)
+            f = 2.0 * jnp.pi / per
+            img = img + jnp.cos(f * (jnp.sin(ang) * yy + jnp.cos(ang) * xx) + ph)
+        img = 0.5 + img / (2.0 * jnp.sqrt(n_waves))
+        cy, cx = h / 2, w / 2
+        r = jnp.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        ang = 0.012 * jnp.exp(-r / (0.4 * h))
+        dy = -(xx - cx) * ang
+        dx = (yy - cy) * ang
+        c0 = jnp.stack([yy - dy, xx - dx], -1)
+        c1 = jnp.stack([yy + dy, xx + dx], -1)
+        from videomorphing_tpu.ops.resample import bilinear_sample
+
+        i0 = bilinear_sample(img[..., None], c0)
+        i1 = bilinear_sample(img[..., None], c1)
+        rgb = lambda g: jnp.clip(jnp.concatenate([g, g * 0.9 + 0.05, g * 0.8 + 0.1], -1), 0, 1)
+        return rgb(i0), rgb(i1), jnp.stack([dy, dx], -1)
+
+    return build(key)
+
+
+def time_solve(i0, i1, v0, p, n_iters, reps=3, label=""):
+    data = build_level_data(i0, i1, p)
+    solve = jax.jit(make_level_solver(p, n_iters))
+    best = float("inf")
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        v_f, stats = solve(v0, data)
+        fetch(v_f)
+        dt = time.perf_counter() - t0
+        if rep:
+            best = min(best, dt)  # rep 0 = compile
+    iters = fetch(stats.iters)
+    print(f"{label}: {best:.3f}s for {iters:.0f} iters -> {best/max(iters,1)*1e3:.2f} ms/iter")
+    return best, iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=1080)
+    ap.add_argument("--w", type=int, default=1920)
+    ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--trace", default=None)
+    args = ap.parse_args()
+
+    enable_compile_cache()
+    print("backend:", jax.default_backend(), jax.devices())
+    h, w = args.h, args.w
+    i0, i1, v_true = make_pair(h, w, int(time.time_ns()) % (1 << 31))
+    fetch(i0)
+    # warm-ish start: a smooth field near the truth (the warm-scan regime)
+    v0 = (-v_true * 0.9).astype(jnp.float32)
+
+    base = MorphParams()
+    # disable convergence stalls so both runs do exactly args.iters iterations
+    p_no = dataclasses.replace(base, relin_every=10_000, tol=0.0, min_step=0.0)
+    p_r1 = dataclasses.replace(base, relin_every=1, tol=0.0, min_step=0.0)
+    p_r4 = dataclasses.replace(base, relin_every=4, tol=0.0, min_step=0.0)
+
+    t_no, it_no = time_solve(i0, i1, v0, p_no, args.iters, label="relin=never")
+    t_r4, it_r4 = time_solve(i0, i1, v0, p_r4, args.iters, label="relin=4    ")
+    t_r1, it_r1 = time_solve(i0, i1, v0, p_r1, args.iters, label="relin=1    ")
+
+    if it_r1 == it_no and it_no > 0:
+        per_relin = (t_r1 - t_no) / it_no
+        print(f"\nrelin cost ~= {per_relin*1e3:.1f} ms each "
+              f"(iter cost {t_no/it_no*1e3:.2f} ms)")
+
+    # isolate make_state: fused warp planes + pack build
+    from videomorphing_tpu.pallas.sweep import make_sweep_pack_planes
+    from videomorphing_tpu.pallas.warp import fused_warp_planes, make_warp_source
+
+    data = build_level_data(i0, i1, base)
+    src0 = make_warp_source(data.i0)
+    src1 = make_warp_source(data.i1)
+
+    @jax.jit
+    def warp_only(v_):
+        return fused_warp_planes(src0, src1, v_)
+
+    @jax.jit
+    def state_full(v_):
+        return make_sweep_pack_planes(fused_warp_planes(src0, src1, v_), v_, data, base)
+
+    planes = warp_only(v0)
+
+    @jax.jit
+    def pack_only(planes_, v_):
+        return make_sweep_pack_planes(planes_, v_, data, base)
+
+    for name, fn, fa in (
+        ("fused_warp_planes", warp_only, (v0,)),
+        ("pack_only        ", pack_only, (planes, v0)),
+        ("make_state full  ", state_full, (v0,)),
+    ):
+        fetch(fn(*fa))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch(fn(*fa))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name}: {best*1e3:.1f} ms")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            v_f, _ = jax.jit(make_level_solver(p_r4, args.iters))(
+                v0, build_level_data(i0, i1, p_r4))
+            fetch(v_f)
+        print("trace written to", args.trace)
+
+
+if __name__ == "__main__":
+    main()

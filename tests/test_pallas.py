@@ -275,3 +275,64 @@ def test_fused_warp_planes_layout():
         np.testing.assert_array_equal(planes[2 * C + 2 * c + 1], np.asarray(dw0[..., c, 1]))
         np.testing.assert_array_equal(planes[4 * C + 2 * c], np.asarray(dw1[..., c, 0]))
         np.testing.assert_array_equal(planes[4 * C + 2 * c + 1], np.asarray(dw1[..., c, 1]))
+
+
+@pytest.mark.parametrize("shift", [(20.0, 0.0), (0.0, 40.0), (-30.0, -90.0), (9.5, 130.5)])
+def test_fused_sample_offframe_fast_path(shift):
+    """Smooth maps running OFF-FRAME must stay on the Pallas fast path.
+
+    The sources are edge-replicated by (MY, MX); a uniform shift pushes a
+    border strip outside the image, which under the old hard [0, h-1] clamp
+    made ``dev`` grow 1/row along the strip and busted every band touching a
+    border (measured: the sampler never engaged on real morphs at 4K).
+    Checks (a) exact clamp-semantics equivalence and (b) that the budget
+    check actually passes, i.e. the off-frame map takes the kernel path.
+    """
+    from videomorphing_tpu.ops.resample import bilinear_sample
+    from videomorphing_tpu.pallas.warp import (
+        DX_SAMPLE, TH_S, TW_S, _cdiv, _prep_image, fused_sample,
+    )
+
+    h, w = 70, 300
+    i0, i1, _v = _warp_case(h, w, "smooth")
+    g = grid_coords(h, w, jnp.float32)
+    dy, dx = shift
+    smooth = 0.8 * jnp.sin(g[..., :1] / 37.0) + 0.6 * jnp.cos(g[..., 1:] / 53.0)
+    c0 = g + jnp.asarray([dy, dx], jnp.float32) + jnp.concatenate([smooth, -smooth], -1)
+
+    gy, gx = _cdiv(h, TH_S), _cdiv(w, TW_S)
+    fits = _prep_image(
+        c0[..., 0], c0[..., 1], h, w, gy, gx,
+        dx_budget=DX_SAMPLE, th=TH_S, tw=TW_S,
+    )[-1]
+    if max(abs(dy), 0.0) <= 56 - 2 and abs(dx) <= 128 - 2:
+        assert bool(fits), "off-frame smooth map should fit the residual budget"
+
+    (out,) = fused_sample([i0], [c0], interpret=True)
+    assert _rel(bilinear_sample(i0, c0), out) < 1e-5
+
+
+def test_fused_warp_offframe_fast_path():
+    """Halfway warps whose content moves off-frame keep the fast path and
+    match the clamp-based gather exactly (field smooth, |v| ~ 25 px)."""
+    from videomorphing_tpu.pallas.warp import _cdiv, _prep_image, fused_warp_pair, TH, TW
+
+    h, w = 70, 300
+    i0, i1, _ = _warp_case(h, w, "smooth")
+    g = grid_coords(h, w, jnp.float32)
+    v = jnp.stack(
+        [12.0 + 0.5 * jnp.sin(g[..., 1] / 60.0), -25.0 + 0.4 * jnp.cos(g[..., 0] / 45.0)],
+        -1,
+    )
+    gy, gx = _cdiv(h, TH), _cdiv(w, TW)
+    c0 = g - v
+    fits = _prep_image(c0[..., 0], c0[..., 1], h, w, gy, gx)[-1]
+    assert bool(fits)
+
+    w0r, dw0r = bilinear_sample_with_grad(i0, g - v)
+    w1r, dw1r = bilinear_sample_with_grad(i1, g + v)
+    w0, dw0, w1, dw1 = fused_warp_pair(i0, i1, v, interpret=True)
+    assert _rel(w0r, w0) < 1e-5
+    assert _rel(dw0r, dw0) < 1e-5
+    assert _rel(w1r, w1) < 1e-5
+    assert _rel(dw1r, dw1) < 1e-5

@@ -47,8 +47,20 @@ from videomorphing_tpu.ops.resample import bilinear_sample_with_grad, grid_coord
 TH, TW = 64, 256         # output tile
 D, DX = 6, 6             # enumerated residual row/col offsets
 RW, WC = 72, 512         # source window (rows: TH + D + pad; cols: TW + 128 frac + pad)
-OFFY, OFFX = 64, 256     # top/left zero padding of the source images
+OFFY, OFFX = 64, 256     # top/left EDGE-REPLICATED padding of the source images
 N_PHASE = 8
+# Extended tap range: coords may run this far outside the image before the
+# prep clamps them. The padding is edge-replicated, so interpolating between
+# two replicated rows/cols reproduces ``bilinear_sample``'s edge clamp
+# EXACTLY — and, critically, the per-tile residual ``dev`` stays smooth
+# where content moves off-frame. With a hard [0, h-1] clamp, any clamped
+# run made ``iy`` locally constant, so ``dev`` grew by 1 per row and busted
+# the residual budget for every band touching a border — on real morphs
+# (content moving off-frame at t near 0/1) the fast path almost never
+# engaged. Margins are sized so ``fits=True`` implies the DMA offsets stay
+# in range: by_al >= 8*floor((-MY-(D-1))/8) = -64 = -OFFY, and
+# bx_al >= 128*floor((-MX-(DX_SAMPLE-1))/128) = -256 = -OFFX.
+MY, MX = 56, 128
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -72,11 +84,18 @@ class WarpSource(NamedTuple):
 def make_warp_source(img: jnp.ndarray) -> WarpSource:
     h, w, c = img.shape
     chw = jnp.moveaxis(img, -1, 0).astype(jnp.float32)
-    hp = _cdiv(OFFY + h + RW + N_PHASE, 8) * 8
-    wp = _cdiv(OFFX + w + WC, 128) * 128
+    hp = _cdiv(OFFY + h + MY + RW + N_PHASE, 8) * 8
+    wp = _cdiv(OFFX + w + MX + WC, 128) * 128
+    # EDGE padding (not zeros): out-of-image taps land on replicated border
+    # rows/cols, so unclamped coords within [-MY, h-1+MY] x [-MX, w-1+MX]
+    # sample exactly what the clamp-based XLA path would (module constants).
     phases = jnp.stack(
         [
-            jnp.pad(chw, ((0, 0), (OFFY - k, hp - h - OFFY + k), (OFFX, wp - w - OFFX)))
+            jnp.pad(
+                chw,
+                ((0, 0), (OFFY - k, hp - h - OFFY + k), (OFFX, wp - w - OFFX)),
+                mode="edge",
+            )
             for k in range(N_PHASE)
         ],
         axis=0,
@@ -100,10 +119,14 @@ def _prep_image(
     wild region routes only its own band to the XLA path.
     """
     hb, wb = coords_y.shape
-    y = jnp.clip(coords_y, 0.0, h - 1.0)
-    x = jnp.clip(coords_x, 0.0, w - 1.0)
-    iy = jnp.clip(jnp.floor(y), 0.0, h - 2.0)
-    ix = jnp.clip(jnp.floor(x), 0.0, w - 2.0)
+    # Clip to the EXTENDED tap range, not the image: the sources are
+    # edge-replicated by (MY, MX), so out-of-image taps reproduce the edge
+    # clamp exactly while ``iy/ix`` stay smooth functions of the coords —
+    # no budget-busting dev kinks along borders (module constants).
+    y = jnp.clip(coords_y, -float(MY), h - 1.0 + MY)
+    x = jnp.clip(coords_x, -float(MX), w - 1.0 + MX)
+    iy = jnp.clip(jnp.floor(y), -float(MY), h - 2.0 + MY)
+    ix = jnp.clip(jnp.floor(x), -float(MX), w - 2.0 + MX)
     fy = y - iy
     fx = x - ix
     oky = ((coords_y > 0.0) & (coords_y < h - 1.0)).astype(y.dtype)
@@ -469,10 +492,12 @@ def fused_sample(srcs, coords, *, interpret=None):
         # path instead of paying the min-reduction prep only to cond it
         # away.
         def _screen(co):
+            # clip to the same EXTENDED range as _prep_image so smooth maps
+            # running off-frame are not misread as wild (see MY/MX comment)
             d = jnp.stack(
                 [
-                    jnp.clip(co[..., 0], 0.0, h - 1.0),
-                    jnp.clip(co[..., 1], 0.0, w - 1.0),
+                    jnp.clip(co[..., 0], -float(MY), h - 1.0 + MY),
+                    jnp.clip(co[..., 1], -float(MX), w - 1.0 + MX),
                 ],
                 -1,
             ) - gb
