@@ -93,3 +93,45 @@ class TestEditorLoop:
         ed.run([f"render {clip} 4", "quit"])
         assert os.path.exists(clip)
         assert np.load(clip)["frames"].shape == (4, 24, 24, 3)
+
+
+class TestCursorMode:
+    def test_decode_keys(self):
+        from videomorphing_tpu.edit import decode_keys
+
+        data = b"\x1b[A\x1b[B\x1b[C\x1b[D wWSad us q"
+        evs = list(decode_keys(data))
+        assert evs == [
+            "up", "down", "right", "left", "place", "UP", "UP", "DOWN",
+            "LEFT", "RIGHT", "place", "undo", "solve", "place", "quit",
+        ]
+        # bare ESC and Ctrl-C both quit
+        assert list(decode_keys(b"\x1b")) == ["quit"]
+        assert list(decode_keys(b"\x03")) == ["quit"]
+
+    def test_cursor_places_pairs_and_solves(self):
+        """Event-driven cursor session: move, place A, place B, undo, solve."""
+        h = w = 48
+        i0 = _blob(h, w, 24, 20)
+        i1 = _blob(h, w, 24, 28)
+        out = io.StringIO()
+        ed = PointEditor(
+            i0, i1,
+            mp=MorphParams(n_levels=2, iters_coarse=20, iters_fine=10),
+            sp=SynthParams(blend_mode="linear", quadratic_paths=False),
+            stream=out,
+            show_images=False,
+        )
+        events = [
+            "LEFT", "up", "place",          # A point at (23, 14)
+            "RIGHT", "RIGHT", "place",      # B point at (23, 34) -> pair 0
+            "place", "undo",                # pending A dropped
+            "solve",
+            "quit",
+        ]
+        ed.cmd_cursor(events)
+        assert len(ed.pairs) == 1
+        (a, b) = ed.pairs[0]
+        assert a == [23.0, 14.0] and b == [23.0, 34.0]
+        assert ed.solves == 1
+        assert "pending A point dropped" in out.getvalue()

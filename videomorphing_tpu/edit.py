@@ -19,14 +19,24 @@ Commands:
     list                 print pairs
     solve                (re-)solve warm from the current field + preview
     preview [T]          render the morph frame at time T (default 0.5)
+    cursor               arrow-key point picking on a tty (see below)
     save [PATH]          write the points JSON (default --out)
     render PATH [N]      write N in-between frames (default 16)
     help / quit
+
+Cursor mode (``cursor`` on a tty): arrows move the crosshair 1 px;
+``W``/``A``/``S``/``D`` (capital S — lowercase ``s`` solves) move 10 px;
+``space``/``enter`` places the point — first in image A, then in image B,
+completing a pair — ``u`` undoes a pending A point, ``s`` warm re-solves
+and shows the halfway view, ``q`` leaves cursor mode. The key decoder and
+the event loop are pure (tests drive them with byte strings / event lists,
+no tty required).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 from typing import Iterable, List, Optional
@@ -82,6 +92,61 @@ def _overlay_points(img: np.ndarray, points, v=None) -> np.ndarray:
                 img[iy + d, ix] = [0.1, 1.0, 0.2]
             if 0 <= iy < h and 0 <= ix + d < w:
                 img[iy, ix + d] = [0.1, 1.0, 0.2]
+    return img
+
+
+def decode_keys(data: bytes):
+    """Decode a byte stream into cursor-mode key events (pure function).
+
+    Yields: 'up'/'down'/'left'/'right' (arrow escape sequences),
+    'UP'/'DOWN'/'LEFT'/'RIGHT' (WASD = big steps), 'place' (space/enter),
+    'undo' ('u'), 'solve' ('s'), 'quit' ('q'/ESC alone/Ctrl-C/Ctrl-D).
+    Unknown bytes are ignored.
+    """
+    i, n = 0, len(data)
+    arrows = {65: "up", 66: "down", 67: "right", 68: "left"}
+    while i < n:
+        b = data[i]
+        if b == 0x1B:  # ESC or escape sequence
+            if i + 2 < n and data[i + 1] == ord("[") and data[i + 2] in arrows:
+                yield arrows[data[i + 2]]
+                i += 3
+                continue
+            yield "quit"
+            i += 1
+            continue
+        ch = chr(b) if 32 <= b < 127 else ""
+        if ch == " " or b in (10, 13):
+            yield "place"
+        elif ch in ("W", "w"):
+            yield "UP"
+        elif ch == "S":
+            yield "DOWN"
+        elif ch in ("A", "a"):
+            yield "LEFT"
+        elif ch in ("D", "d"):
+            yield "RIGHT"
+        elif ch == "u":
+            yield "undo"
+        elif ch == "s":
+            yield "solve"
+        elif ch in ("q", "Q") or b in (3, 4):
+            yield "quit"
+        i += 1
+
+
+def _overlay_cursor(img: np.ndarray, cy: float, cx: float) -> np.ndarray:
+    """Red crosshair at the cursor (longer arms than point markers)."""
+    img = np.array(img, np.float32, copy=True)
+    h, w = img.shape[:2]
+    iy, ix = int(round(cy)), int(round(cx))
+    for d in range(-6, 7):
+        if d == 0:
+            continue
+        if 0 <= iy + d < h and 0 <= ix < w:
+            img[iy + d, ix] = [1.0, 0.15, 0.1]
+        if 0 <= iy < h and 0 <= ix + d < w:
+            img[iy, ix + d] = [1.0, 0.15, 0.1]
     return img
 
 
@@ -164,6 +229,87 @@ class PointEditor:
         self._show(frame)
         self._say(f"morph frame at t={float(t):.2f}")
 
+    def cmd_cursor(self, events=None):
+        """Arrow-key point picking (reference: click-to-place in ImageEditor).
+
+        ``events``: iterable of decoded key events (see :func:`decode_keys`);
+        ``None`` reads raw keystrokes from the controlling tty. The state
+        machine is pure relative to the event stream, so tests drive it
+        headlessly with a list.
+        """
+        if events is None:
+            events = self._tty_events()
+        h, w = np.asarray(self.session.i0).shape[:2]
+        cy, cx = h / 2.0, w / 2.0
+        picking = "A"           # placing the A point or the B point
+        pending = None          # the A point awaiting its B partner
+        step_small, step_big = 1.0, 10.0
+        self._say(
+            "[cursor] arrows=move 1px, WAD/S=10px, space=place "
+            f"({picking} first), u=undo, s=solve, q=done"
+        )
+        self._show_cursor_view(picking, cy, cx, pending)
+        for ev in events:
+            if ev == "quit":
+                break
+            if ev in ("up", "down", "left", "right", "UP", "DOWN", "LEFT", "RIGHT"):
+                s = step_big if ev.isupper() else step_small
+                dy = {"up": -s, "down": s}.get(ev.lower(), 0.0)
+                dx = {"left": -s, "right": s}.get(ev.lower(), 0.0)
+                cy = float(np.clip(cy + dy, 0, h - 1))
+                cx = float(np.clip(cx + dx, 0, w - 1))
+            elif ev == "place":
+                if picking == "A":
+                    pending = (cy, cx)
+                    picking = "B"
+                    self._say(f"[cursor] A point at ({cy:.0f},{cx:.0f}) — now pick B")
+                else:
+                    self.cmd_add(pending[0], pending[1], cy, cx)
+                    pending, picking = None, "A"
+            elif ev == "undo":
+                if pending is not None:
+                    pending, picking = None, "A"
+                    self._say("[cursor] pending A point dropped")
+                elif self.pairs:
+                    self.cmd_del(len(self.pairs) - 1)
+            elif ev == "solve":
+                self.cmd_solve()
+            self._show_cursor_view(picking, cy, cx, pending)
+        self._say(f"[cursor] done ({len(self.pairs)} pairs)")
+
+    def _show_cursor_view(self, picking: str, cy: float, cx: float, pending) -> None:
+        if not self.show_images:
+            return
+        img = self.session.i0 if picking == "A" else self.session.i1
+        view = _overlay_points(np.asarray(img), self._points_arr())
+        if pending is not None and picking == "B":
+            view = _overlay_cursor(view, pending[0], pending[1])
+        self._show(_overlay_cursor(view, cy, cx))
+
+    def _tty_events(self):
+        """Raw-mode keystroke events from stdin (requires a tty)."""
+        import termios
+        import tty as _tty
+
+        if not sys.stdin.isatty():
+            self._say("cursor: stdin is not a tty (use scripted add/move)")
+            return
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        try:
+            _tty.setraw(fd)
+            while True:
+                data = os.read(fd, 8)
+                done = False
+                for ev in decode_keys(data):
+                    yield ev
+                    if ev == "quit":
+                        done = True
+                if done:
+                    break
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
     def cmd_save(self, path: Optional[str] = None):
         path = path or self.out_path
         if not path:
@@ -213,6 +359,8 @@ class PointEditor:
                     self.cmd_solve()
                 elif cmd == "preview":
                     self.cmd_preview(*args[:1])
+                elif cmd == "cursor":
+                    self.cmd_cursor()
                 elif cmd == "save":
                     self.cmd_save(*args[:1])
                 elif cmd == "render":

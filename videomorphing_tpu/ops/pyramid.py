@@ -17,9 +17,6 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from videomorphing_tpu.ops.windows import gaussian_kernel_1d, separable_filter
-
-
 def auto_n_levels(h: int, w: int, min_size: int = 32, max_levels: int = 16) -> int:
     """Number of pyramid levels so the coarsest is ~min_size on its short side.
 
@@ -51,10 +48,36 @@ def downsample_2x(img: jnp.ndarray, sigma: float = 0.85) -> jnp.ndarray:
 
     Output shape is ceil(H/2) x ceil(W/2) (odd sizes round up so coarse grids
     always cover the domain).
+
+    POLYPHASE implementation: the blurred value is computed at even
+    positions only, as 5 strided slices x taps per axis — algebraically
+    identical to blur-then-``[::2, ::2]`` but with half the filter work and,
+    more importantly, no XLA depthwise conv and no strided-slice relayout:
+    the NCHW ``conv_general_dilated`` + decimate lowering measured tens of
+    ms per level at 4K (and a fresh standalone compile of it faulted the
+    TPU runtime — the PERF.md "whole-program compile fault" class), while
+    slices + adds fuse into one elementwise pass.
     """
-    k = gaussian_kernel_1d(5, sigma, dtype=img.dtype)
-    sm = separable_filter(img, k, k, mode="same_edge")
-    return sm[::2, ::2]
+    from videomorphing_tpu.ops.windows import _gaussian_np
+
+    taps = [float(t) for t in _gaussian_np(5, float(sigma))]
+    r = 2
+    h, w = img.shape[0], img.shape[1]
+    ho, wo = -(-h // 2), -(-w // 2)
+    squeeze = img.ndim == 2
+    x = img[..., None] if squeeze else img
+
+    xp = jnp.pad(x, ((r, r + (2 * ho - h)), (0, 0), (0, 0)), mode="edge")
+    rows = None
+    for t, kt in enumerate(taps):
+        sl = kt * xp[t : t + 2 * ho : 2]
+        rows = sl if rows is None else rows + sl
+    xp2 = jnp.pad(rows, ((0, 0), (r, r + (2 * wo - w)), (0, 0)), mode="edge")
+    out = None
+    for t, kt in enumerate(taps):
+        sl = kt * xp2[:, t : t + 2 * wo : 2]
+        out = sl if out is None else out + sl
+    return out[..., 0] if squeeze else out
 
 
 def upsample_2x(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:

@@ -42,6 +42,31 @@ def _resolve_fused(use_fused: Optional[bool]) -> bool:
     return bool(use_fused) and jax.default_backend() == "tpu"
 
 
+def _coarse_fixed_point(disp_c, qc, n: int, use_fused: bool):
+    """``n`` fixed-point iterations ``p <- q - disp(p)`` at coarse res.
+
+    With ``use_fused`` the displacement is sampled by the Pallas fused
+    sampler (one ``WarpSource`` built outside the loop) — gathers are
+    index-count bound, so even the half-res iterations were ~45 ms each at
+    4K; the fused path cuts each to a few ms on smooth displacement maps.
+    """
+    if use_fused:
+        from videomorphing_tpu.pallas.warp import fused_sample, make_warp_source
+
+        src = make_warp_source(disp_c)
+
+        def body_c(_, pc):
+            (d,) = fused_sample([src], [pc])
+            return qc - d
+
+    else:
+
+        def body_c(_, pc):
+            return qc - bilinear_sample(disp_c, pc)
+
+    return jax.lax.fori_loop(0, n, body_c, qc)
+
+
 def invert_path(
     v: jnp.ndarray,
     b: Optional[jnp.ndarray],
@@ -74,14 +99,11 @@ def invert_path(
         # coarse displacement: values rescaled to coarse-pixel units
         disp_c = downsample_2x(disp) * 0.5
         qc = grid_coords(hh, ww, dtype=v.dtype)
-
-        def body_c(_, pc):
-            return qc - bilinear_sample(disp_c, pc)
-
-        pc = jax.lax.fori_loop(0, n_iters - 1, body_c, qc)
+        fused = _resolve_fused(use_fused)
+        pc = _coarse_fixed_point(disp_c, qc, n_iters - 1, fused)
         corr = jax.image.resize(pc - qc, (h, w, 2), method="bilinear")
         p = q + corr * 2.0
-        if _resolve_fused(use_fused):
+        if fused:
             from videomorphing_tpu.pallas.warp import fused_sample
 
             (d_at_p,) = fused_sample([disp], [p])
@@ -124,11 +146,7 @@ def invert_path_with_field(
         hh, ww = -(-h // 2), -(-w // 2)
         disp_c = downsample_2x(disp) * 0.5
         qc = grid_coords(hh, ww, dtype=v.dtype)
-
-        def body_c(_, pc):
-            return qc - bilinear_sample(disp_c, pc)
-
-        pc = jax.lax.fori_loop(0, n_iters - 1, body_c, qc)
+        pc = _coarse_fixed_point(disp_c, qc, n_iters - 1, _resolve_fused(use_fused))
         corr = jax.image.resize(pc - qc, (h, w, 2), method="bilinear")
         p = q + corr * 2.0
     else:
