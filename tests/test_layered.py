@@ -163,3 +163,58 @@ class TestLayeredMorph:
         # t=0 reproduces image 0, t=1 image 1 (away from the 1px border)
         assert np.abs(frames[0][2:-2, 2:-2] - i0[2:-2, 2:-2]).mean() < 0.02
         assert np.abs(frames[-1][2:-2, 2:-2] - i1[2:-2, 2:-2]).mean() < 0.02
+
+    def test_video_layer_keyframed_points(self, rng, params):
+        """Layer points in KEYFRAME-dict form flow through the layer solve
+        (TODO feature-polish item): the same point identities are placed on
+        the first and last frame, flow-tracked between, and the layer's
+        motion still resolves. Exercises drift re-anchoring on the
+        NEUTRALIZED clips that the layer solve actually sees."""
+        from videomorphing_tpu import api
+        from videomorphing_tpu.config import VideoParams
+
+        mp, sp = params
+        t_len, h, w = 4, 40, 56
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+        def blob(cy, cx, col):
+            g = np.exp(-0.5 * ((yy - cy) ** 2 + (xx - cx) ** 2) / 4.0**2)
+            return np.stack([c * g for c in col], -1).astype(np.float32)
+
+        def make_clip(x_start):
+            rngb = np.random.default_rng(7)
+            tex = rngb.random((h, w, 3), dtype=np.float32)
+            for _ in range(2):
+                tex = 0.25 * (
+                    np.roll(tex, 1, 0) + np.roll(tex, -1, 0)
+                    + np.roll(tex, 1, 1) + np.roll(tex, -1, 1)
+                )
+            bg = 0.15 + 0.2 * tex
+            frames, ms = [], []
+            for k in range(t_len):
+                x = x_start + 2.0 * k
+                frames.append(np.clip(bg + blob(20, x, (0.9, 0.2, 0.1)), 0, 1))
+                ms.append((np.hypot(yy - 20, xx - x) < 8).astype(np.float32))
+            return np.stack(frames).astype(np.float32), np.stack(ms)
+
+        clip_a, ma = make_clip(16.0)
+        clip_b, mb = make_clip(22.0)
+
+        def kp(k):
+            xa, xb = 16.0 + 2.0 * k, 22.0 + 2.0 * k
+            return np.asarray([[[20.0, xa], [20.0, xb]]], np.float32)
+
+        layer_points = {0: kp(0), t_len - 1: kp(t_len - 1)}
+        res = api.morph_clips_layered(
+            clip_a, clip_b,
+            [dict(mask0=ma, mask1=mb, points=layer_points)],
+            mp=mp, sp=sp, vp=VideoParams(flow_iters=20),
+        )
+        frames = np.asarray(res.frames)
+        assert frames.shape == (t_len, h, w, 3)
+        assert np.isfinite(frames).all()
+        for k, t in enumerate(np.linspace(0, 1, t_len)):
+            e = (1 - t) * (16 + 2 * k) + t * (22 + 2 * k)
+            red = np.maximum(frames[k, ..., 0] - frames[k, ..., 2] - 0.1, 0)
+            c = float((xx * red).sum() / max(red.sum(), 1e-6))
+            assert abs(c - e) < 2.5, (k, c, e)
