@@ -25,6 +25,11 @@ sys.path.insert(0, os.environ["VM_REPO"])
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
+
+# The env var alone is NOT enough here: environments with an auto-loaded
+# TPU plugin (axon) ignore JAX_PLATFORMS, the worker silently initializes
+# the TPU backend, and jax.process_count() comes back 1.
+jax.config.update("jax_platforms", "cpu")
 from videomorphing_tpu.parallel.multihost import initialize, global_mesh, process_shard
 
 pid, n = initialize()

@@ -336,3 +336,74 @@ def test_fused_warp_offframe_fast_path():
     assert _rel(dw0r, dw0) < 1e-5
     assert _rel(w1r, w1) < 1e-5
     assert _rel(dw1r, dw1) < 1e-5
+
+
+class TestBf16Pack:
+    """``MorphParams.pack_dtype='bfloat16'``: the static pack stores bf16,
+    all arithmetic stays f32 (upcast after DMA), per-call v planes stay f32.
+    The result is a slightly perturbed — not restructured — computation."""
+
+    def test_grad_close_to_f32(self):
+        import dataclasses
+
+        v, data = _case(96, 130, seed=2)
+        p32 = MorphParams()
+        p16 = dataclasses.replace(p32, pack_dtype="bfloat16")
+        e32, g32, pc32 = fused_value_grad_precond(v, data, p32, interpret=True)
+        from videomorphing_tpu.pallas.sweep import quantize_v_lin
+
+        # evaluate the bf16 pack at ITS linearization point for a clean
+        # apples-to-apples energy comparison
+        vq = quantize_v_lin(v, p16)
+        e16, g16, pc16 = fused_value_grad_precond(vq, data, p16, interpret=True)
+        e32q, g32q, pc32q = fused_value_grad_precond(vq, data, p32, interpret=True)
+        assert abs(float(e16) - float(e32q)) < 2e-2 * max(abs(float(e32q)), 1.0)
+        # gradient direction must be preserved (cosine similarity)
+        a, b = np.asarray(g16).ravel(), np.asarray(g32q).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        assert cos > 0.98, cos
+        assert _rel(pc32q, pc16) < 5e-2
+
+    def test_level_solver_converges_bf16(self):
+        """Translation recovery still converges with the bf16 pack (the
+        solver-level guarantee the perf knob must preserve)."""
+        import dataclasses
+
+        rng = np.random.default_rng(5)
+        h, w = 64, 96
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        tex = np.zeros((h, w), np.float32)
+        for per in (9.0, 17.0, 31.0):
+            tex += np.sin(2 * np.pi * xx / per + rng.uniform(0, 6)) * np.cos(
+                2 * np.pi * yy / per + rng.uniform(0, 6)
+            )
+        tex = 0.5 + tex / 6.0
+        img = np.stack([tex, 0.9 * tex, 0.8 * tex], -1)
+        d = 1.5  # halfway shift: i0 at -d, i1 at +d -> v should converge to (0, d)
+
+        def shift(img, dx):
+            out = np.empty_like(img)
+            xs = np.clip(xx + dx, 0, w - 1).astype(np.int32)
+            out[:] = img[np.arange(h)[:, None], xs]
+            return out
+
+        # out(x) = img(x + dx); i0 = img(x - d), i1 = img(x + d), so the
+        # halfway constraint img(p - v - d) = img(p + v + d) gives v_x = -d
+        i0 = jnp.asarray(shift(img, -d))
+        i1 = jnp.asarray(shift(img, +d))
+        v0 = jnp.zeros((h, w, 2), jnp.float32)
+        meds = {}
+        for pd in ("float32", "bfloat16"):
+            p = dataclasses.replace(
+                MorphParams(), pack_dtype=pd, backend="pallas",
+                pallas_min_pixels=0,
+            )
+            v_f, stats = make_level_solver(p, n_iters=60)(
+                v0, make_level_data(i0, i1)
+            )
+            assert float(stats.e_final) < float(stats.e0)
+            meds[pd] = float(np.median(np.asarray(v_f)[8:-8, 8:-8, 1]))
+        # single-level solve moves well toward v_x = -d...
+        assert meds["float32"] < -0.5, meds
+        # ...and the bf16 pack tracks the f32 solver tightly
+        assert abs(meds["bfloat16"] - meds["float32"]) < 0.05, meds

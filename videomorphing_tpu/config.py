@@ -89,6 +89,15 @@ class MorphParams:
     # pallas backend; it falls back to the XLA gather per call when the
     # field's within-tile variation exceeds the kernel budget.
     fused_warp: bool = True
+    # Storage dtype of the STATIC sweep pack (warp planes, derivatives,
+    # v_lin, constraint/data planes): "float32" (exact; the oracle) or
+    # "bfloat16" (halves the pack's HBM footprint and per-tile DMA). In
+    # bf16 mode the linearization point is quantized to bf16 BEFORE the
+    # re-warp so the stored planes and stored v_lin stay exactly
+    # consistent; the per-call v planes and ALL in-kernel arithmetic stay
+    # f32 (kernels upcast after the DMA), so the correction dv = v - v_lin
+    # is computed exactly. Quality-probed end-to-end (PERF.md).
+    pack_dtype: str = "float32"
 
     def iters_for_level(self, level: int, n_levels: int) -> int:
         """Iteration budget per level; geometric from coarse to fine.

@@ -83,6 +83,30 @@ def _tile_shape(h: int, w: int, halo: int) -> Tuple[int, int]:
     return th, tw
 
 
+def _pack_dtype(p: MorphParams):
+    """Storage dtype of the static pack (``MorphParams.pack_dtype``)."""
+    if p.pack_dtype == "bfloat16":
+        return jnp.bfloat16
+    if p.pack_dtype == "float32":
+        return jnp.float32
+    raise ValueError(f"unknown pack_dtype {p.pack_dtype!r}")
+
+
+def quantize_v_lin(v: jnp.ndarray, p: MorphParams) -> jnp.ndarray:
+    """Round the linearization point to the pack's storage grid.
+
+    In bf16 mode the warp MUST be evaluated at the rounded point so the
+    stored warp planes and the stored ``v_lin`` describe the same point —
+    the correction ``dv = v - v_lin`` (computed f32, per call) then absorbs
+    the rounding exactly and the linearized model stays exact to first
+    order. No-op in f32 mode.
+    """
+    dt = _pack_dtype(p)
+    if dt == jnp.float32:
+        return v
+    return v.astype(dt).astype(v.dtype)
+
+
 def _taps(p: MorphParams) -> List[float]:
     from videomorphing_tpu.ops.windows import _gaussian_np
 
@@ -296,15 +320,21 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         cp2.start()
         cp2.wait()
 
+        # upcast-on-read: the static pack may be stored bf16 (pack_dtype);
+        # every use converts to f32 so ALL arithmetic stays f32 (no-op
+        # when the pack is f32)
+        def X(q):
+            return xt[q].astype(jnp.float32)
+
         # linearize the warps IN VMEM around the packed v_lin: the static
         # pack stays valid for every iteration and line-search trial until
         # the next re-warp, so XLA repacks only the 2 v planes per call
-        dvy = xvt[0] - xt[i_v]
-        dvx = xvt[1] - xt[i_v + 1]
+        dvy = xvt[0] - X(i_v)
+        dvx = xvt[1] - X(i_v + 1)
 
         hs = halo - r  # halo level of the window statistics
-        inv2 = crop(xt[i_invn], halo, hs)
-        m0 = crop(xt[i_mask], halo, 0)
+        inv2 = crop(X(i_invn), halo, hs)
+        m0 = crop(X(i_mask), halo, 0)
         scale = -1.0 / (npix * C)
 
         def ar(a):  # stats level -> transpose-conv input level (halo r)
@@ -317,8 +347,8 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         e_sim = jnp.float32(0.0)
 
         for c in range(C):
-            a0 = xt[i_w0 + c] - (xt[i_dw0 + 2 * c] * dvy + xt[i_dw0 + 2 * c + 1] * dvx)
-            a1 = xt[i_w1 + c] + (xt[i_dw1 + 2 * c] * dvy + xt[i_dw1 + 2 * c + 1] * dvx)
+            a0 = X(i_w0 + c) - (X(i_dw0 + 2 * c) * dvy + X(i_dw0 + 2 * c + 1) * dvx)
+            a1 = X(i_w1 + c) + (X(i_dw1 + 2 * c) * dvy + X(i_dw1 + 2 * c + 1) * dvx)
             st = _ssim_stats(a0, a1, inv2, taps, p.ssim_c1, p.ssim_c2, p.ssim_use_luminance)
 
             t1 = _wsum_tile(ar(scale * st["c_var"] * inv2), taps)
@@ -336,10 +366,10 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
             g0 = t00 + 2.0 * w0c * t1 + w1c * t2
             g1 = t01 + 2.0 * w1c * t1 + w0c * t2
 
-            d0y = xt[i_dw0 + 2 * c]
-            d0x = xt[i_dw0 + 2 * c + 1]
-            d1y = xt[i_dw1 + 2 * c]
-            d1x = xt[i_dw1 + 2 * c + 1]
+            d0y = X(i_dw0 + 2 * c)
+            d0x = X(i_dw0 + 2 * c + 1)
+            d1y = X(i_dw1 + 2 * c)
+            d1x = X(i_dw1 + 2 * c + 1)
             gs_y += -g0 * crop(d0y, halo, 0) + g1 * crop(d1y, halo, 0)
             gs_x += -g0 * crop(d0x, halo, 0) + g1 * crop(d1x, halo, 0)
 
@@ -351,12 +381,12 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
 
         pc_y = (2.0 / (npix * C)) * _wsum_tile(curv_y, taps)
         pc_x = (2.0 / (npix * C)) * _wsum_tile(curv_x, taps)
-        ui_w = crop(xt[i_uiw], halo, 0)
-        tc_w = crop(xt[i_tcw], halo, 0)
+        ui_w = crop(X(i_uiw), halo, 0)
+        tc_w = crop(X(i_tcw), halo, 0)
         p_quad = (2.0 / npix) * (p.gamma_ui * ui_w + p.beta_tc * tc_w)
         p_rest = lam_n * 25.0 + p_quad + p.precond_eps / npix
 
-        M = xt[i_mask]
+        M = X(i_mask)
         e_tps = jnp.float32(0.0)
         e_ui = jnp.float32(0.0)
         e_tc = jnp.float32(0.0)
@@ -365,8 +395,8 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
             V = xvt[k]
             gt, et_map = _tps_grad_tile(V, M, shift, crop, halo)
             v0 = crop(V, halo, 0)
-            dv_ui = v0 - crop(xt[i_uiv + k], halo, 0)
-            dv_tc = v0 - crop(xt[i_tcv + k], halo, 0)
+            dv_ui = v0 - crop(X(i_uiv + k), halo, 0)
+            dv_tc = v0 - crop(X(i_tcv + k), halo, 0)
             gq = (2.0 * p.gamma_ui / npix) * ui_w * dv_ui + (2.0 * p.beta_tc / npix) * tc_w * dv_tc
             gs = gs_y if k == 0 else gs_x
             g_yx.append(gs + lam_n * gt + gq)
@@ -413,7 +443,7 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((P, hh, ww), jnp.float32),
+            pltpu.VMEM((P, hh, ww), _pack_dtype(p)),
             pltpu.VMEM((2, hh, ww), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -453,25 +483,28 @@ def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         cp2.start()
         cp2.wait()
 
-        dvy = xvt[0] - xt[i_v]
-        dvx = xvt[1] - xt[i_v + 1]
+        def X(q):  # upcast-on-read (bf16 pack support; no-op for f32)
+            return xt[q].astype(jnp.float32)
 
-        inv0 = crop(xt[i_invn], halo, halo - r)  # stats: halo -> halo - r
-        m0 = crop(xt[i_mask], halo, 0)
+        dvy = xvt[0] - X(i_v)
+        dvx = xvt[1] - X(i_v + 1)
+
+        inv0 = crop(X(i_invn), halo, halo - r)  # stats: halo -> halo - r
+        m0 = crop(X(i_mask), halo, 0)
 
         e_sim = jnp.float32(0.0)
         for c in range(C):
-            a0 = xt[i_w0 + c] - (xt[i_dw0 + 2 * c] * dvy + xt[i_dw0 + 2 * c + 1] * dvx)
-            a1 = xt[i_w1 + c] + (xt[i_dw1 + 2 * c] * dvy + xt[i_dw1 + 2 * c + 1] * dvx)
+            a0 = X(i_w0 + c) - (X(i_dw0 + 2 * c) * dvy + X(i_dw0 + 2 * c + 1) * dvx)
+            a1 = X(i_w1 + c) + (X(i_dw1 + 2 * c) * dvy + X(i_dw1 + 2 * c + 1) * dvx)
             st = _ssim_stats(
                 a0, a1, inv0, taps,
                 p.ssim_c1, p.ssim_c2, p.ssim_use_luminance,
             )
             e_sim += jnp.sum((1.0 - crop(st["s"], halo - r, 0)) * m0)
 
-        ui_w = crop(xt[i_uiw], halo, 0)
-        tc_w = crop(xt[i_tcw], halo, 0)
-        M = xt[i_mask]
+        ui_w = crop(X(i_uiw), halo, 0)
+        tc_w = crop(X(i_tcw), halo, 0)
+        M = X(i_mask)
         e_tps = jnp.float32(0.0)
         e_ui = jnp.float32(0.0)
         e_tc = jnp.float32(0.0)
@@ -480,8 +513,8 @@ def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
             vxx, vyy, vxy = _tps_maps_tile(V, M, shift, crop, halo, 0)
             et_map = vxx * vxx + 2.0 * vxy * vxy + vyy * vyy
             v0 = crop(V, halo, 0)
-            dv_ui = v0 - crop(xt[i_uiv + k], halo, 0)
-            dv_tc = v0 - crop(xt[i_tcv + k], halo, 0)
+            dv_ui = v0 - crop(X(i_uiv + k), halo, 0)
+            dv_tc = v0 - crop(X(i_tcv + k), halo, 0)
             e_tps += jnp.sum(et_map)
             e_ui += jnp.sum(ui_w * dv_ui * dv_ui)
             e_tc += jnp.sum(tc_w * dv_tc * dv_tc)
@@ -508,7 +541,7 @@ def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         ],
         out_shape=[jax.ShapeDtypeStruct((1, 4), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((P, hh, ww), jnp.float32),
+            pltpu.VMEM((P, hh, ww), _pack_dtype(p)),
             pltpu.VMEM((2, hh, ww), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -559,7 +592,8 @@ def make_sweep_pack(
             planes += [src[..., c, 0], src[..., c, 1]]
     planes += _common_planes(v_lin, data)
     planes += [_invn_plane(h, w, p, v_lin.dtype), jnp.ones((h, w), v_lin.dtype)]
-    return _pack([pl_.astype(jnp.float32) for pl_ in planes], gy, gx, th, tw, halo)
+    dt = _pack_dtype(p)
+    return _pack([pl_.astype(dt) for pl_ in planes], gy, gx, th, tw, halo)
 
 
 def make_sweep_pack_planes(
@@ -574,7 +608,8 @@ def make_sweep_pack_planes(
         _invn_plane(h, w, p, v_lin.dtype), jnp.ones((h, w), v_lin.dtype)
     ]
     planes = [warp_planes[k] for k in range(warp_planes.shape[0])] + common
-    return _pack([pl_.astype(jnp.float32) for pl_ in planes], gy, gx, th, tw, halo)
+    dt = _pack_dtype(p)
+    return _pack([pl_.astype(dt) for pl_ in planes], gy, gx, th, tw, halo)
 
 
 def pack_v(v: jnp.ndarray, p: MorphParams) -> jnp.ndarray:

@@ -64,7 +64,19 @@ def render_clip_sharded(
     ts_p, n = _pad_to_multiple(ts.astype(v.dtype), n_dev)
 
     def local(i0_, i1_, v_, b_, ts_):
-        return jax.lax.map(lambda t: render_frame(i0_, i1_, v_, b_, t, sp), ts_)
+        # hoist the fused sampler's 8-phase source copies out of the frame
+        # loop (same as render_clip — rebuilding them costs ~700 MB of
+        # pad-writes per 1080p frame)
+        if sp.fused_sampling and sp.sampling != "bicubic" and jax.default_backend() == "tpu":
+            from videomorphing_tpu.pallas.warp import make_warp_source
+
+            s0_, s1_ = make_warp_source(i0_), make_warp_source(i1_)
+        else:
+            s0_ = s1_ = None
+        return jax.lax.map(
+            lambda t: render_frame(i0_, i1_, v_, b_, t, sp, srcs0=s0_, srcs1=s1_),
+            ts_,
+        )
 
     run = jax.jit(
         shard_map(

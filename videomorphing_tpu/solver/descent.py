@@ -353,15 +353,21 @@ def make_level_solver(p: MorphParams, n_iters: int):
                 make_sweep_pack_planes,
             )
 
+            from videomorphing_tpu.pallas.sweep import quantize_v_lin
+
             if p.fused_warp:
                 from videomorphing_tpu.pallas.warp import fused_warp_planes
 
                 def make_state(v_):
-                    planes = fused_warp_planes(src0, src1, v_)
-                    return make_sweep_pack_planes(planes, v_, data, p)
+                    # bf16 packs: warp AT the rounded linearization point so
+                    # the stored planes and stored v_lin stay consistent
+                    # (quantize_v_lin is a no-op for f32 packs)
+                    v_q = quantize_v_lin(v_, p)
+                    planes = fused_warp_planes(src0, src1, v_q)
+                    return make_sweep_pack_planes(planes, v_q, data, p)
             else:
                 def make_state(v_):
-                    wb = rewarp(v_)
+                    wb = rewarp(quantize_v_lin(v_, p))
                     return make_sweep_pack(wb.w0, wb.dw0, wb.w1, wb.dw1, wb.v_lin, data, p)
 
             grad_eval = lambda st_, v_: fused_value_grad_precond_pack(st_, v_, (h, w), C, p)

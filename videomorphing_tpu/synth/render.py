@@ -180,6 +180,8 @@ def render_frame(
     conf0: Optional[jnp.ndarray] = None,
     conf1: Optional[jnp.ndarray] = None,
     with_aux: bool = False,
+    srcs0=None,
+    srcs1=None,
 ):
     """Synthesize the morph frame at time ``t`` in [0, 1].
 
@@ -208,7 +210,14 @@ def render_frame(
     if use_fused:
         from videomorphing_tpu.pallas.warp import fused_sample
 
-        s0, s1 = fused_sample([i0s, i1s], [phi0, phi1])
+        # srcs0/srcs1: prebuilt WarpSources (render_clip hoists the 8-phase
+        # copies out of its frame loop — rebuilding them cost ~700 MB of
+        # pad-writes per 1080p frame); only usable when no per-frame conf
+        # channel is ridden along
+        if srcs0 is not None and conf0 is None:
+            s0, s1 = fused_sample([srcs0, srcs1], [phi0, phi1])
+        else:
+            s0, s1 = fused_sample([i0s, i1s], [phi0, phi1])
     else:
         from videomorphing_tpu.ops.resample import bicubic_sample
 
@@ -256,9 +265,16 @@ def render_clip(
     — on TPU that runs the Pallas kernels AND their fallbacks per frame
     (the platform landmine documented in ARCHITECTURE.md; same reasoning
     as ``parallel.batch.make_batch_step``). Sequential also keeps peak
-    memory single-frame.
+    memory single-frame. The fused sampler's 8-phase source copies are
+    built ONCE here and closed over by every frame.
     """
-    fn = lambda t: render_frame(i0, i1, v, b, t, sp)
+    if sp.fused_sampling and sp.sampling != "bicubic" and jax.default_backend() == "tpu":
+        from videomorphing_tpu.pallas.warp import make_warp_source
+
+        s0, s1 = make_warp_source(i0), make_warp_source(i1)
+    else:
+        s0 = s1 = None
+    fn = lambda t: render_frame(i0, i1, v, b, t, sp, srcs0=s0, srcs1=s1)
     return jax.lax.map(fn, ts.astype(v.dtype))
 
 
