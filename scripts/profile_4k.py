@@ -159,9 +159,10 @@ def main():
     # render timing (the other half of the 'solve+render' PERF numbers)
     from videomorphing_tpu.config import SynthParams
     from videomorphing_tpu.synth.paths import jitted_bulge_field
-    from videomorphing_tpu.synth.render import render_clip
+    from videomorphing_tpu.synth.render import jitted_render_clip
 
     sp = SynthParams()
+    render_clip = lambda i0_, i1_, v_, b_, ts_, _sp: jitted_render_clip(_sp)(i0_, i1_, v_, b_, ts_)
     b = jitted_bulge_field(sp)(res.v)
     n_rf = 4
     ts = jnp.linspace(0.15, 0.85, n_rf)
