@@ -13,17 +13,45 @@ at import).
 
 import os
 import resource
+import sys
 
 # The default 8 MB stack has segfaulted the XLA CPU compiler mid-suite on
-# large shard_map executables (deep LLVM/HLO pass recursion; crash in
-# backend_compile_and_load with 122 GB RAM free). Raise to the hard limit
-# before jax loads so the main thread's stack can grow.
-_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-if _soft != resource.RLIM_INFINITY:
+# large executables (deep LLVM/HLO pass recursion; crash in
+# backend_compile_and_load with 122 GB RAM free; seen twice, ~130 tests
+# in, both in optimize_pair compiles). Raising RLIMIT_STACK in-process is
+# NOT enough: the kernel bases the main stack's growth room on the rlimit
+# at exec time, and glibc latches the default pthread stack size from it
+# at startup — so a runtime raise leaves both the main thread and XLA's
+# compile threads at 8 MB. The reliable fix is to set a large FINITE limit
+# and re-exec the interpreter once (same pid/argv; rlimits survive exec).
+# Done from pytest_configure (below) rather than at import so pytest's
+# capture manager can hand back the REAL stdout/stderr fds first — exec
+# under active capture strands all output in an orphaned temp file.
+_STACK_WANT = 512 * 1024 * 1024  # virtual reservation only — free on 64-bit
+
+
+def _stack_limit_is_small() -> bool:
+    soft, _ = resource.getrlimit(resource.RLIMIT_STACK)
+    return soft == resource.RLIM_INFINITY or 0 < soft < _STACK_WANT
+
+
+def pytest_configure(config):
+    if not _stack_limit_is_small() or os.environ.get("VMORPH_STACK_REEXEC") == "1":
+        return
+    soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+    cap = _STACK_WANT if hard == resource.RLIM_INFINITY else min(_STACK_WANT, hard)
     try:
-        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+        resource.setrlimit(resource.RLIMIT_STACK, (cap, hard))
     except (ValueError, OSError):
-        pass
+        return
+    os.environ["VMORPH_STACK_REEXEC"] = "1"
+    capman = config.pluginmanager.get_plugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.suspend_global_capture(in_=True)
+        except Exception:
+            pass
+    os.execv(sys.executable, list(sys.orig_argv))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Disable the persistent XLA compile cache under pytest: CLI entry points
