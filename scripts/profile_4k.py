@@ -143,6 +143,9 @@ def main():
 
     res = None
     for rep in range(args.reps):
+        if rep:  # fresh content per rep (runtime result-caches identical inputs)
+            i0, i1, v_true = make_pair(h, w, int(time.time_ns()) % (1 << 31))
+            fetch(i0)
         t0 = time.perf_counter()
         res = optimize_pair(i0, i1, params=mp)
         fetch(res.v)
@@ -167,8 +170,12 @@ def main():
     n_rf = 4
     ts = jnp.linspace(0.15, 0.85, n_rf)
     for rep in range(args.reps):
+        # PERF.md methodology: the runtime result-caches identical
+        # (executable, inputs) pairs — nudge ts per rep so every timed call
+        # computes for real (same shapes, fresh values)
+        ts_r = ts + 1e-4 * (rep + 1)
         t0 = time.perf_counter()
-        frames = render_clip(i0, i1, res.v, b, ts, sp)
+        frames = render_clip(i0, i1, res.v, b, ts_r, sp)
         fetch(frames)
         dt = time.perf_counter() - t0
         print(f"render {n_rf} frames rep {rep}: {dt:.2f}s ({dt / n_rf:.2f}s/frame)")
@@ -179,8 +186,9 @@ def main():
     v_s = -v_true
     b_s = jitted_bulge_field(sp)(v_s)
     for rep in range(args.reps):
+        ts_r = ts + 1e-4 * (rep + 1)  # fresh values: defeat result-caching
         t0 = time.perf_counter()
-        frames = render_clip(i0, i1, v_s, b_s, ts, sp)
+        frames = render_clip(i0, i1, v_s, b_s, ts_r, sp)
         fetch(frames)
         dt = time.perf_counter() - t0
         print(f"render(true v) rep {rep}: {dt:.2f}s ({dt / n_rf:.2f}s/frame)")

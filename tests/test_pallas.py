@@ -407,3 +407,145 @@ class TestBf16Pack:
         assert meds["float32"] < -0.5, meds
         # ...and the bf16 pack tracks the f32 solver tightly
         assert abs(meds["bfloat16"] - meds["float32"]) < 0.05, meds
+
+
+class TestSplitPack:
+    """warp_into_pack mode: the warp kernel emits the sweep pack directly
+    (pallas.warp.fused_warp_planes_packed) and the sweep kernels read the
+    split warp/v_lin/const refs. Everything must match the combined-pack
+    path exactly — same sampling math, different data routing."""
+
+    H, W = 130, 300  # multi row/column tiles, gx = 2 column groups
+
+    def _smooth_v(self, h, w, scale=1.0):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        return jnp.asarray(
+            scale * np.stack([1.5 * np.sin(yy / 40), 2 * np.cos(xx / 50)], -1)
+        )
+
+    @pytest.mark.parametrize("kind", ["smooth", "wild"])
+    def test_packed_warp_planes_match_combined_pack(self, kind):
+        """x_warp == combined pack's first 6C planes (kernel AND fallback
+        bands), zeros in the extra tail rows."""
+        from videomorphing_tpu.pallas.sweep import make_sweep_pack_planes
+        from videomorphing_tpu.pallas.warp import (
+            fused_warp_planes,
+            fused_warp_planes_packed,
+            make_warp_source,
+            packed_plane_geometry,
+        )
+
+        h, w = self.H, self.W
+        v, data = _case(h, w, seed=7)
+        if kind == "smooth":
+            v = self._smooth_v(h, w)
+        else:
+            v = 30.0 * v  # busts the residual budget -> XLA fallback bands
+        p = MorphParams()
+        geom = packed_plane_geometry(p, h, w)
+        assert geom is not None
+        halo, th, tw, gy, gx, rows, cols = geom
+        s0, s1 = make_warp_source(data.i0), make_warp_source(data.i1)
+        x_comb = make_sweep_pack_planes(
+            fused_warp_planes(s0, s1, v, interpret=True), v, data, p
+        )
+        x_warp = fused_warp_planes_packed(s0, s1, v, p, interpret=True)
+        assert x_warp.shape == (18, rows, cols)
+        np.testing.assert_allclose(
+            np.asarray(x_warp[:, : gy * th + 2 * halo]),
+            np.asarray(x_comb[:18]),
+            rtol=0, atol=1e-6,
+        )
+        tail = np.asarray(x_warp[:, gy * th + 2 * halo :])
+        assert tail.size == 0 or np.abs(tail).max() == 0.0
+
+    def test_split_grad_energy_match_combined_and_oracle(self):
+        from videomorphing_tpu.pallas.sweep import (
+            fused_total_energy_pack,
+            fused_total_energy_split,
+            fused_value_grad_precond_pack,
+            fused_value_grad_precond_split,
+            make_const_pack,
+            make_sweep_pack_planes,
+            pack_v,
+        )
+        from videomorphing_tpu.pallas.warp import (
+            fused_warp_planes,
+            fused_warp_planes_packed,
+            make_warp_source,
+        )
+
+        h, w = self.H, self.W
+        _v, data = _case(h, w, seed=9)
+        v_lin = self._smooth_v(h, w)
+        # evaluate AWAY from the linearization point: exercises the in-VMEM
+        # dv correction against both twins
+        v = v_lin + 0.3 * self._smooth_v(h, w)[::-1]
+        p = MorphParams()
+        s0, s1 = make_warp_source(data.i0), make_warp_source(data.i1)
+
+        x_comb = make_sweep_pack_planes(
+            fused_warp_planes(s0, s1, v_lin, interpret=True), v_lin, data, p
+        )
+        x_warp = fused_warp_planes_packed(s0, s1, v_lin, p, interpret=True)
+        x_vlin = pack_v(v_lin, p)
+        x_const = make_const_pack(data, p)
+
+        e1, g1, pc1 = fused_value_grad_precond_pack(
+            x_comb, v, (h, w), 3, p, interpret=True
+        )
+        e2, g2, pc2 = fused_value_grad_precond_split(
+            x_warp, x_vlin, x_const, v, (h, w), 3, p, interpret=True
+        )
+        assert _rel(e1, e2) < 1e-6
+        assert _rel(g1, g2) < 1e-6
+        assert _rel(pc1, pc2) < 1e-6
+
+        et1 = fused_total_energy_pack(x_comb, v, (h, w), 3, p, interpret=True)
+        et2 = fused_total_energy_split(
+            x_warp, x_vlin, x_const, v, (h, w), 3, p, interpret=True
+        )
+        assert _rel(et1, et2) < 1e-6
+
+        # against the jnp oracle at the linearization point itself
+        e_ref, g_ref, pc_ref = energy_value_grad_precond(v_lin, data, MorphParams())
+        e3, g3, pc3 = fused_value_grad_precond_split(
+            x_warp, x_vlin, x_const, v_lin, (h, w), 3, p, interpret=True
+        )
+        assert _rel(e_ref, e3) < 1e-5
+        assert _rel(g_ref, g3) < 1e-5
+        assert _rel(pc_ref, pc3) < 1e-5
+
+    def test_level_solver_split_matches_combined(self):
+        """Identical solve trajectory with warp_into_pack on and off."""
+        rng = np.random.default_rng(13)
+        h, w = 64, 130  # smallest geometry the packed layout supports
+        base = rng.random((h + 8, w + 8, 3), dtype=np.float32)
+        for _ in range(3):
+            base = 0.25 * (
+                np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1)
+            )
+        i0 = jnp.asarray(base[4 : 4 + h, 4 : 4 + w])
+        i1 = jnp.asarray(base[4 : 4 + h, 2 : 2 + w])
+        data = make_level_data(i0, i1)
+        v0 = jnp.zeros((h, w, 2), jnp.float32)
+
+        p_comb = MorphParams(backend="pallas", relin_every=4)
+        p_split = MorphParams(backend="pallas", relin_every=4, warp_into_pack=True)
+        v_c, st_c = make_level_solver(p_comb, 10)(v0, data)
+        v_s, st_s = make_level_solver(p_split, 10)(v0, data)
+        assert _rel(v_c, v_s) < 1e-5
+        assert _rel(st_c.e_final, st_s.e_final) < 1e-6
+
+    def test_geometry_gate(self):
+        """Small frames fall back: packed_plane_geometry returns None and
+        the solver must still work with warp_into_pack=True."""
+        from videomorphing_tpu.pallas.warp import packed_plane_geometry
+
+        p = MorphParams()
+        assert packed_plane_geometry(p, 40, 64) is None  # gx == 1
+        v, data = _case(40, 64, seed=3)
+        ps = MorphParams(backend="pallas", warp_into_pack=True)
+        v_f, _st = make_level_solver(ps, 4)(v * 0.1, data)
+        assert np.isfinite(np.asarray(v_f)).all()

@@ -98,6 +98,14 @@ class MorphParams:
     # f32 (kernels upcast after the DMA), so the correction dv = v - v_lin
     # is computed exactly. Quality-probed end-to-end (PERF.md).
     pack_dtype: str = "float32"
+    # Emit the fused warp kernel's output DIRECTLY in the sweep static-pack
+    # layout (pallas.warp.fused_warp_planes_packed), splitting the pack
+    # into warp / v_lin / per-level-const refs: the XLA stack/pad/column-
+    # group repack of the warp planes disappears from every
+    # re-linearization. Requires fused_warp and a compatible tile geometry
+    # (falls back to the combined pack otherwise). Default pending the
+    # on-chip measurement (TODO.md perf rank 1).
+    warp_into_pack: bool = False
 
     def iters_for_level(self, level: int, n_levels: int) -> int:
         """Iteration budget per level; geometric from coarse to fine.
@@ -202,6 +210,43 @@ class VideoParams:
     warm_iters_fine: int = 12
 
     dtype: str = "float32"
+
+
+def exact_configs() -> Tuple[MorphParams, SynthParams, VideoParams]:
+    """The "paper-exact" slow reference configuration (in-repo oracle).
+
+    Every speed default that trades work for fidelity is reverted to its
+    exact/slow setting: jnp backend (no fused kernels), re-warp every
+    iteration (no linearized inner iterations), full-resolution flow and
+    advection, full iteration budgets, full-resolution path inversion,
+    f32 pack. With the reference mount empty (SURVEY.md section 0), this
+    is the strongest in-repo stand-in for "what the paper's algorithm
+    computes" — the fast defaults are regression-tested against it
+    (tests/test_exact_oracle.py), and any future knob must keep the gap
+    to this configuration inside the probe tolerances logged in PERF.md.
+    """
+    mp = MorphParams(
+        backend="jnp",          # plain-jnp oracle path, no Pallas
+        fused_warp=False,
+        relin_every=1,          # exact warp every iteration
+        pack_dtype="float32",
+        iters_coarse=200,
+        iters_fine=50,          # pre-probe budget (30 is the probed fast value)
+    )
+    sp = SynthParams(
+        invert_multiscale=False,  # full-res fixed-point path inversion
+        fused_sampling=False,
+        invert_iters=10,
+    )
+    vp = VideoParams(
+        flow_iters=60,
+        flow_warps=3,
+        flow_scale=1.0,           # full-resolution flow
+        advect_scale=1.0,         # full-resolution advection inversion
+        warm_iters_mid=30,
+        warm_iters_fine=20,
+    )
+    return mp, sp, vp
 
 
 # Canonical benchmark configurations from BASELINE.json `configs`.

@@ -290,7 +290,9 @@ def _sweep_geometry(p: MorphParams, h: int, w: int):
     return taps, r, halo, th, tw, gy, gx
 
 
-def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
+def _build_grad_call(
+    C: int, h: int, w: int, p: MorphParams, interpret: bool, split: bool = False
+):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -306,25 +308,50 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
     hh, ww = th + 2 * halo, tw + 2 * halo
     ow = ww if gx > 1 else tw  # output column-group width (128-aligned)
 
-    def kernel(x_hbm, v_hbm, g_out, part_out, xt, xvt, sem):
+    def kernel(*refs):
+        # split mode: the static pack arrives as THREE refs (warp planes
+        # emitted directly by the packed warp kernel, the per-relin v_lin
+        # pack, the per-level const pack); X(q) routes the SAME global
+        # plane indices to the right tile so the math body is mode-blind
+        if split:
+            xw_hbm, xvl_hbm, xc_hbm, v_hbm, g_out, part_out = refs[:6]
+            xwt, xvlt, xct, xvt, sem = refs[6:]
+        else:
+            x_hbm, v_hbm, g_out, part_out, xt, xvt, sem = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(i * th, hh), pl.ds(j * ww, ww)], xt, sem
-        )
-        cp.start()
-        cp.wait()
-        cp2 = pltpu.make_async_copy(
-            v_hbm.at[:, pl.ds(i * th, hh), pl.ds(j * ww, ww)], xvt, sem
-        )
+        # every ref shares the row mapping pack_row = image_row + halo, so
+        # one (i*th, j*ww) window slice serves all of them
+        win = lambda ref: ref.at[:, pl.ds(i * th, hh), pl.ds(j * ww, ww)]
+        if split:
+            for src, dst in ((xw_hbm, xwt), (xvl_hbm, xvlt), (xc_hbm, xct)):
+                cp = pltpu.make_async_copy(win(src), dst, sem)
+                cp.start()
+                cp.wait()
+        else:
+            cp = pltpu.make_async_copy(win(x_hbm), xt, sem)
+            cp.start()
+            cp.wait()
+        cp2 = pltpu.make_async_copy(win(v_hbm), xvt, sem)
         cp2.start()
         cp2.wait()
 
         # upcast-on-read: the static pack may be stored bf16 (pack_dtype);
         # every use converts to f32 so ALL arithmetic stays f32 (no-op
         # when the pack is f32)
-        def X(q):
-            return xt[q].astype(jnp.float32)
+        if split:
+
+            def X(q):
+                if q < 6 * C:
+                    return xwt[q].astype(jnp.float32)
+                if q < 6 * C + 2:
+                    return xvlt[q - 6 * C].astype(jnp.float32)
+                return xct[q - 6 * C - 2].astype(jnp.float32)
+
+        else:
+
+            def X(q):
+                return xt[q].astype(jnp.float32)
 
         # linearize the warps IN VMEM around the packed v_lin: the static
         # pack stays valid for every iteration and line-search trial until
@@ -427,13 +454,26 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         part_out[0, 2] += e_ui
         part_out[0, 3] += e_tc
 
+    if split:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+        scratch = [
+            pltpu.VMEM((6 * C, hh, ww), _pack_dtype(p)),   # warp planes
+            pltpu.VMEM((2, hh, ww), jnp.float32),          # v_lin
+            pltpu.VMEM((8, hh, ww), _pack_dtype(p)),       # const planes
+            pltpu.VMEM((2, hh, ww), jnp.float32),          # per-call v
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        scratch = [
+            pltpu.VMEM((P, hh, ww), _pack_dtype(p)),
+            pltpu.VMEM((2, hh, ww), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
     call = pl.pallas_call(
         kernel,
         grid=(gy, gx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((4, th, ow), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -442,17 +482,15 @@ def _build_grad_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
             jax.ShapeDtypeStruct((4, gy * th, gx * ow), jnp.float32),
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((P, hh, ww), _pack_dtype(p)),
-            pltpu.VMEM((2, hh, ww), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
     return call, (gy, gx, th, tw, ow, halo, P)
 
 
-def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
+def _build_energy_call(
+    C: int, h: int, w: int, p: MorphParams, interpret: bool, split: bool = False
+):
     """Line-search energy kernel over the SAME static pack as the grad
     kernel (same geometry, same plane layout): per trial only the 2 v
     planes repack, and the linearized warps are formed in VMEM."""
@@ -469,22 +507,41 @@ def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
     shift, crop = _mk_slicers(th, tw)
     hh, ww = th + 2 * halo, tw + 2 * halo
 
-    def kernel(x_hbm, v_hbm, part_out, xt, xvt, sem):
+    def kernel(*refs):
+        if split:  # see _build_grad_call: 3 static refs + per-call v
+            xw_hbm, xvl_hbm, xc_hbm, v_hbm, part_out = refs[:5]
+            xwt, xvlt, xct, xvt, sem = refs[5:]
+        else:
+            x_hbm, v_hbm, part_out, xt, xvt, sem = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(i * th, hh), pl.ds(j * ww, ww)], xt, sem
-        )
-        cp.start()
-        cp.wait()
-        cp2 = pltpu.make_async_copy(
-            v_hbm.at[:, pl.ds(i * th, hh), pl.ds(j * ww, ww)], xvt, sem
-        )
+        win = lambda ref: ref.at[:, pl.ds(i * th, hh), pl.ds(j * ww, ww)]
+        if split:
+            for src, dst in ((xw_hbm, xwt), (xvl_hbm, xvlt), (xc_hbm, xct)):
+                cp = pltpu.make_async_copy(win(src), dst, sem)
+                cp.start()
+                cp.wait()
+        else:
+            cp = pltpu.make_async_copy(win(x_hbm), xt, sem)
+            cp.start()
+            cp.wait()
+        cp2 = pltpu.make_async_copy(win(v_hbm), xvt, sem)
         cp2.start()
         cp2.wait()
 
-        def X(q):  # upcast-on-read (bf16 pack support; no-op for f32)
-            return xt[q].astype(jnp.float32)
+        if split:
+
+            def X(q):  # upcast-on-read, routed across the split refs
+                if q < 6 * C:
+                    return xwt[q].astype(jnp.float32)
+                if q < 6 * C + 2:
+                    return xvlt[q - 6 * C].astype(jnp.float32)
+                return xct[q - 6 * C - 2].astype(jnp.float32)
+
+        else:
+
+            def X(q):  # upcast-on-read (bf16 pack support; no-op for f32)
+                return xt[q].astype(jnp.float32)
 
         dvy = xvt[0] - X(i_v)
         dvx = xvt[1] - X(i_v + 1)
@@ -529,22 +586,31 @@ def _build_energy_call(C: int, h: int, w: int, p: MorphParams, interpret: bool):
         part_out[0, 2] += e_ui
         part_out[0, 3] += e_tc
 
+    if split:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+        scratch = [
+            pltpu.VMEM((6 * C, hh, ww), _pack_dtype(p)),
+            pltpu.VMEM((2, hh, ww), jnp.float32),
+            pltpu.VMEM((8, hh, ww), _pack_dtype(p)),
+            pltpu.VMEM((2, hh, ww), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        scratch = [
+            pltpu.VMEM((P, hh, ww), _pack_dtype(p)),
+            pltpu.VMEM((2, hh, ww), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
     call = pl.pallas_call(
         kernel,
         grid=(gy, gx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((1, 4), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((P, hh, ww), _pack_dtype(p)),
-            pltpu.VMEM((2, hh, ww), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
     return call, (gy, gx, th, tw, halo, P)
@@ -610,6 +676,62 @@ def make_sweep_pack_planes(
     planes = [warp_planes[k] for k in range(warp_planes.shape[0])] + common
     dt = _pack_dtype(p)
     return _pack([pl_.astype(dt) for pl_ in planes], gy, gx, th, tw, halo)
+
+
+def make_const_pack(data: LevelData, p: MorphParams) -> jnp.ndarray:
+    """Per-LEVEL constant planes (constraints, 1/n, domain mask) in pack
+    layout — built once per level solve, shared by every re-linearization
+    (split-pack mode, see fused_value_grad_precond_split)."""
+    h, w, _C = data.i0.shape
+    _taps_, _r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
+    dtype = jnp.float32
+    planes = [
+        data.ui_w[..., 0], data.ui_v[..., 0], data.ui_v[..., 1],
+        data.tc_w[..., 0], data.tc_v[..., 0], data.tc_v[..., 1],
+        _invn_plane(h, w, p, dtype), jnp.ones((h, w), dtype),
+    ]
+    dt = _pack_dtype(p)
+    return _pack([pl_.astype(dt) for pl_ in planes], gy, gx, th, tw, halo)
+
+
+def fused_value_grad_precond_split(
+    x_warp, x_vlin, x_const, v, hw, C: int, p: MorphParams, *, interpret=None
+):
+    """(energy, grad, precond) at ``v`` from the SPLIT static pack.
+
+    ``x_warp``: (6C, (gy+1)*th, gx*cg) emitted directly by
+    ``pallas.warp.fused_warp_planes_packed`` (no XLA repack of the warp
+    planes per re-linearization); ``x_vlin``: ``pack_v`` of the (quantized)
+    linearization point, rebuilt per relin; ``x_const``:
+    ``make_const_pack``, built once per level. Math and outputs are
+    identical to :func:`fused_value_grad_precond_pack` (same kernel body —
+    only the DMA routing differs); jnp twin:
+    ``solver.descent.energy_value_grad_precond``.
+    """
+    h, w = hw
+    interpret = _auto_interpret(interpret)
+    call, (gy, gx, th, tw, ow, halo, _P) = _grad_call_cached(
+        C, h, w, p, interpret, True
+    )
+    xv = pack_v(v, p)
+    out, parts = call(x_warp, x_vlin, x_const, xv)
+    if gx > 1:
+        out = out.reshape(4, gy * th, gx, ow)[..., :tw].reshape(4, gy * th, gx * tw)
+    grad = jnp.moveaxis(out[:2, :h, :w], 0, -1).astype(v.dtype)
+    precond = jnp.moveaxis(out[2:4, :h, :w], 0, -1).astype(v.dtype)
+    energy = _combine_parts(parts, p, h * w, C).astype(v.dtype)
+    return energy, grad, precond
+
+
+def fused_total_energy_split(
+    x_warp, x_vlin, x_const, v, hw, C: int, p: MorphParams, *, interpret=None
+):
+    """Total energy at ``v`` from the split static pack (line search)."""
+    h, w = hw
+    interpret = _auto_interpret(interpret)
+    call, _geom = _energy_call_cached(C, h, w, p, interpret, True)
+    (parts,) = call(x_warp, x_vlin, x_const, pack_v(v, p))
+    return _combine_parts(parts, p, h * w, C).astype(v.dtype)
 
 
 def pack_v(v: jnp.ndarray, p: MorphParams) -> jnp.ndarray:

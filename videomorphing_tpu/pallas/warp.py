@@ -106,6 +106,7 @@ def make_warp_source(img: jnp.ndarray) -> WarpSource:
 def _prep_image(
     coords_y, coords_x, h, w, gy, gx,
     d_budget: int = D, dx_budget: int = DX, th: int = TH, tw: int = TW,
+    valid=None,
 ):
     """Per-image tap indices, weights, per-tile bases and the budget check.
 
@@ -144,9 +145,22 @@ def _prep_image(
     big = jnp.int32(1 << 28)
     rel_y = pad_to(iy, big) - row_in
     rel_x = pad_to(ix, big) - col_in
+    if valid is not None:
+        # packed layouts (fused_warp_planes_packed) carry interior padding
+        # positions whose coords are meaningless — exclude them from the
+        # tile bases and the budget check exactly like the edge padding
+        # (``big`` rel makes them match no residual offset -> output 0)
+        vz = pad_to((valid > 0).astype(jnp.int32), 0)
+        rel_y = jnp.where(vz > 0, rel_y, big)
+        rel_x = jnp.where(vz > 0, rel_x, big)
 
     by_raw = jnp.min(rel_y.reshape(gy, th, gx, tw), axis=(1, 3))   # (gy, gx)
     bx_raw = jnp.min(rel_x.reshape(gy, th, gx, tw), axis=(1, 3))
+    # a tile with NO valid positions keeps its ``big`` min — clamp its base
+    # to 0 so the window DMA offset stays in range (its outputs are all
+    # zeroed by the no-match enumeration anyway)
+    by_raw = jnp.where(by_raw >= big // 2, 0, by_raw)
+    bx_raw = jnp.where(bx_raw >= big // 2, 0, bx_raw)
     phase = by_raw % 8                  # row fraction -> phase-copy index
     by_al = by_raw - phase
     bx_al = (bx_raw // 128) * 128
@@ -156,8 +170,16 @@ def _prep_image(
     rep_x = jnp.repeat(jnp.repeat(bx_raw, th, 0), tw, 1)
     dev = jnp.where(rel_y >= big // 2, 0, rel_y - rep_y)
     devx = jnp.where(rel_x >= big // 2, 0, rel_x - rep_x)
+    if valid is not None:
+        # invalid positions must produce ZERO in the (uncropped) packed
+        # output: give them an offset the kernel's residual enumeration
+        # never matches (dev = 0 would sample real values there)
+        dev = jnp.where(vz > 0, dev, d_budget)
+        devx = jnp.where(vz > 0, devx, dx_budget)
 
-    inside = pad_to(jnp.ones((hb, wb), jnp.int32), 0)
+    inside = (
+        pad_to(jnp.ones((hb, wb), jnp.int32), 0) if valid is None else vz
+    )
     fits = (
         jnp.max(jnp.where(inside > 0, dev, 0)) <= d_budget - 1
     ) & (jnp.max(jnp.where(inside > 0, devx, 0)) <= dx_budget - 1)
@@ -173,12 +195,13 @@ def _prep_image(
     )
 
 
-def _build_warp_call(C: int, gy: int, gx: int, interpret: bool):
+def _build_warp_call(C: int, gy: int, gx: int, interpret: bool, out_dtype=jnp.float32):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_out = 6 * C  # w0(C), w1(C), dw0(2C), dw1(2C)
     i_w0, i_w1, i_dw0, i_dw1 = 0, C, 2 * C, 4 * C
+    cast = (lambda a: a) if out_dtype == jnp.float32 else (lambda a: a.astype(out_dtype))
 
     def roll_lanes(a, sx):
         # logical col q maps to source col q + sx (jnp.roll with -sx). Only
@@ -233,12 +256,12 @@ def _build_warp_call(C: int, gy: int, gx: int, interpret: bool):
             bot = t10 + (t11 - t10) * fx
             base_w = i_w0 if im == 0 else i_w1
             base_d = i_dw0 if im == 0 else i_dw1
-            out[base_w : base_w + C] = top + (bot - top) * fy
+            out[base_w : base_w + C] = cast(top + (bot - top) * fy)
             dys = (bot - top) * oky
             dxs = ((t01 - t00) * (1.0 - fy) + (t11 - t10) * fy) * okx
             for c in range(C):
-                out[base_d + 2 * c] = dys[c]
-                out[base_d + 2 * c + 1] = dxs[c]
+                out[base_d + 2 * c] = cast(dys[c])
+                out[base_d + 2 * c + 1] = cast(dxs[c])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -260,7 +283,7 @@ def _build_warp_call(C: int, gy: int, gx: int, interpret: bool):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_out, gy * TH, gx * TW), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n_out, gy * TH, gx * TW), out_dtype)],
         interpret=interpret,
     )
 
@@ -448,6 +471,120 @@ def fused_warp_planes(src0, src1, v, *, interpret=None) -> jnp.ndarray:
                 for c in range(C):
                     planes += [src[..., c, 0], src[..., c, 1]]
             return jnp.stack(planes, 0)
+
+        outs.append(jax.lax.cond(fits, pallas_path, xla_path, None))
+
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def packed_plane_geometry(p, h: int, w: int):
+    """Geometry of the sweep static-pack layout IF this kernel can emit it
+    directly: ``(halo, th, tw, gy, gx, rows, cols)`` or ``None``.
+
+    Compatibility requires the sweep tile (th, tw + 2*halo) to equal this
+    kernel's (TH, TW) tile and materialized column groups (gx > 1); small
+    levels fall back to :func:`fused_warp_planes` + ``make_sweep_pack_planes``.
+    The packed layout adds one extra tile row: packed row r holds image row
+    r - halo (the shift keeps tile-row write offsets 8-aligned), so image
+    rows [gy*th - halo, h) land beyond row gy*th.
+    """
+    from videomorphing_tpu.pallas.sweep import _sweep_geometry
+
+    _taps, _r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
+    if gx <= 1 or th != TH or tw + 2 * halo != TW:
+        return None
+    return halo, th, tw, gy, gx, (gy + 1) * th, gx * TW
+
+
+def _pack_plane(a, halo: int, th: int, tw: int, gy: int, gx: int):
+    """(H, W) image plane -> ((gy+1)*th, gx*(tw+2*halo)) packed layout.
+
+    Mirrors ``sweep._pack``'s zero pad + materialized column groups, with
+    the packed-warp row shift (packed row r = image row r - halo)."""
+    h, w = a.shape
+    cg = tw + 2 * halo
+    ap = jnp.pad(a, ((halo, (gy + 1) * th - h - halo), (halo, gx * tw - w + halo)))
+    return jnp.concatenate([ap[:, j * tw : j * tw + cg] for j in range(gx)], axis=1)
+
+
+def fused_warp_planes_packed(src0, src1, v, p, *, interpret=None) -> jnp.ndarray:
+    """Both halfway warps + derivatives emitted DIRECTLY in the sweep
+    static-pack layout (TODO.md perf rank 1: "warp directly into the
+    sweep-pack layout").
+
+    :func:`fused_warp_planes` + ``sweep.make_sweep_pack_planes`` rebuilds
+    the packed plane stack through an XLA stack/pad/column-group copy
+    pipeline EVERY re-linearization. Here the pack layout is instead baked
+    into the COORDINATE planes once (2 small planes per image), and both
+    the Pallas kernel and the per-band XLA fallback evaluate the sampling
+    straight into pack positions — the 6C output planes never exist in
+    image layout at all. Padding positions carry a no-match residual
+    sentinel (kernel path) / a zero mask (XLA path), reproducing
+    ``sweep._pack``'s zero padding exactly.
+
+    Returns the (6C, (gy+1)*th, gx*(tw+2*halo)) static WARP pack consumed
+    by ``sweep.fused_value_grad_precond_split`` (paired with the per-level
+    const pack and the per-relinearization v_lin pack). jnp twin for
+    tests: ``make_sweep_pack_planes(fused_warp_planes(...))`` restricted
+    to the first 6C planes (up to the row shift).
+    """
+    if not isinstance(src0, WarpSource):
+        src0 = make_warp_source(src0)
+    if not isinstance(src1, WarpSource):
+        src1 = make_warp_source(src1)
+    i0, i1 = src0.img, src1.img
+    h, w, C = i0.shape
+    interpret = _auto_interpret(interpret)
+    geom = packed_plane_geometry(p, h, w)
+    assert geom is not None, "packed_plane_geometry must be checked by the caller"
+    halo, th, tw, gy, gx, rows, cols = geom
+    from videomorphing_tpu.pallas.sweep import _pack_dtype
+
+    dt = _pack_dtype(p)
+
+    g = grid_coords(h, w, v.dtype)
+    c0 = g - v
+    c1 = g + v
+    pk = lambda a: _pack_plane(a, halo, th, tw, gy, gx)
+    c0y, c0x = pk(c0[..., 0]), pk(c0[..., 1])
+    c1y, c1x = pk(c1[..., 0]), pk(c1[..., 1])
+    mask = pk(jnp.ones((h, w), v.dtype))
+
+    n_rows = gy + 1
+    outs = []
+    for (t0, t1, rs, re) in _row_bands(n_rows, n_rows * th, th):
+        bt = t1 - t0
+        sl = slice(rs, re)
+        mb = mask[sl]
+        p0 = _prep_image(c0y[sl], c0x[sl], h, w, bt, gx, th=th, tw=TW, valid=mb)
+        p1 = _prep_image(c1y[sl], c1x[sl], h, w, bt, gx, th=th, tw=TW, valid=mb)
+        fits = p0[-1] & p1[-1]
+
+        def pallas_path(_, p0=p0, p1=p1, bt=bt):
+            call = _warp_call_cached(C, bt, gx, interpret, dt)
+            bases = jnp.stack(
+                [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
+            ).astype(jnp.int32)
+            idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
+            idxf = jnp.stack(
+                [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
+            ).astype(jnp.float32)
+            (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
+            return out  # already pack-layout, nothing to crop
+
+        def xla_path(_, sl=sl, mb=mb):
+            cb0 = jnp.stack([c0y[sl], c0x[sl]], -1)
+            cb1 = jnp.stack([c1y[sl], c1x[sl]], -1)
+            w0, dw0 = bilinear_sample_with_grad(i0, cb0)
+            w1, dw1 = bilinear_sample_with_grad(i1, cb1)
+            m = mb.astype(w0.dtype)
+            planes = [w0[..., c] * m for c in range(C)] + [
+                w1[..., c] * m for c in range(C)
+            ]
+            for src in (dw0, dw1):
+                for c in range(C):
+                    planes += [src[..., c, 0] * m, src[..., c, 1] * m]
+            return jnp.stack(planes, 0).astype(dt)
 
         outs.append(jax.lax.cond(fits, pallas_path, xla_path, None))
 

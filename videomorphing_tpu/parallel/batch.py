@@ -129,13 +129,13 @@ def make_batch_step(
     # shard_map + per-device lax.map, NOT vmap: vmapping turns every
     # lax.cond into a both-branches select, which runs the Pallas fast
     # paths AND their XLA fallbacks (measured ~10x at 4K)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     local = lambda *arrs: jax.lax.map(lambda a: one_pair(*a), arrs)
     step = jax.jit(
         shard_map(
             local, mesh=mesh,
-            in_specs=P(axis), out_specs=P(axis), check_rep=False,
+            in_specs=P(axis), out_specs=P(axis), check_vma=False,
         )
     )
     return step
@@ -149,7 +149,7 @@ def _make_batch_step_staged(
     n_out: int,
     axis: str,
 ):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from videomorphing_tpu.parallel.frames import optimize_pairs_batched
 
@@ -161,7 +161,7 @@ def _make_batch_step_staged(
     synth_j = jax.jit(
         shard_map(
             local, mesh=mesh,
-            in_specs=P(axis), out_specs=P(axis), check_rep=False,
+            in_specs=P(axis), out_specs=P(axis), check_vma=False,
         )
     )
 

@@ -58,7 +58,7 @@ def render_clip_sharded(
     fallbacks on every frame (ARCHITECTURE.md platform landmine; same
     structure as ``parallel.batch.make_batch_step``).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.shape[axis]
     ts_p, n = _pad_to_multiple(ts.astype(v.dtype), n_dev)
@@ -83,7 +83,7 @@ def render_clip_sharded(
             local, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(axis)),
             out_specs=P(axis),
-            check_rep=False,
+            check_vma=False,
         )
     )
     b_arg = b if b is not None else jnp.zeros_like(v)
@@ -110,7 +110,7 @@ def optimize_pairs_batched(
     jitted shard_map (the levels unroll inside), so a block is one
     dispatch. This is the optimizer half of BASELINE.json config 5.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     bsz, h, w = i0s.shape[0], i0s.shape[1], i0s.shape[2]
     dtype = i0s.dtype
@@ -129,7 +129,7 @@ def optimize_pairs_batched(
         local = lambda *arrs: jax.lax.map(lambda a: fn(*a), arrs)
         sm = shard_map(
             local, mesh=mesh,
-            in_specs=P(axis), out_specs=P(axis), check_rep=False,
+            in_specs=P(axis), out_specs=P(axis), check_vma=False,
         )
         return jax.jit(sm)
 

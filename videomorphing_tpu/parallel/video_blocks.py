@@ -67,7 +67,7 @@ def _jitted_blocked_solve(
     mp: MorphParams, vp: VideoParams, mesh: Mesh,
     hw: Tuple[int, int], block: int, axis: str,
 ):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     h, w = hw
     warm_solve = _make_warm_solver(mp, hw, vp)
@@ -102,7 +102,7 @@ def _jitted_blocked_solve(
 
     sm = shard_map(
         per_block, mesh=mesh,
-        in_specs=P(axis), out_specs=P(axis), check_rep=False,
+        in_specs=P(axis), out_specs=P(axis), check_vma=False,
     )
     return jax.jit(sm)
 

@@ -348,30 +348,62 @@ def make_level_solver(p: MorphParams, n_iters: int):
         if use_pallas:
             from videomorphing_tpu.pallas.sweep import (
                 fused_total_energy_pack,
+                fused_total_energy_split,
                 fused_value_grad_precond_pack,
+                fused_value_grad_precond_split,
+                make_const_pack,
                 make_sweep_pack,
                 make_sweep_pack_planes,
+                pack_v,
             )
 
             from videomorphing_tpu.pallas.sweep import quantize_v_lin
 
-            if p.fused_warp:
-                from videomorphing_tpu.pallas.warp import fused_warp_planes
+            packed_geom = None
+            if p.fused_warp and p.warp_into_pack:
+                from videomorphing_tpu.pallas.warp import packed_plane_geometry
+
+                packed_geom = packed_plane_geometry(p, h, w)
+
+            if packed_geom is not None:
+                # split-pack mode: the warp kernel emits its planes straight
+                # into the pack layout — per relin only the tiny v_lin pack
+                # is rebuilt in XLA, the const planes pack once per level
+                from videomorphing_tpu.pallas.warp import fused_warp_planes_packed
+
+                x_const = make_const_pack(data, p)
 
                 def make_state(v_):
-                    # bf16 packs: warp AT the rounded linearization point so
-                    # the stored planes and stored v_lin stay consistent
-                    # (quantize_v_lin is a no-op for f32 packs)
                     v_q = quantize_v_lin(v_, p)
-                    planes = fused_warp_planes(src0, src1, v_q)
-                    return make_sweep_pack_planes(planes, v_q, data, p)
-            else:
-                def make_state(v_):
-                    wb = rewarp(quantize_v_lin(v_, p))
-                    return make_sweep_pack(wb.w0, wb.dw0, wb.w1, wb.dw1, wb.v_lin, data, p)
+                    return (
+                        fused_warp_planes_packed(src0, src1, v_q, p),
+                        pack_v(v_q, p),
+                    )
 
-            grad_eval = lambda st_, v_: fused_value_grad_precond_pack(st_, v_, (h, w), C, p)
-            energy_eval = lambda st_, v_: fused_total_energy_pack(st_, v_, (h, w), C, p)
+                grad_eval = lambda st_, v_: fused_value_grad_precond_split(
+                    st_[0], st_[1], x_const, v_, (h, w), C, p
+                )
+                energy_eval = lambda st_, v_: fused_total_energy_split(
+                    st_[0], st_[1], x_const, v_, (h, w), C, p
+                )
+            else:
+                if p.fused_warp:
+                    from videomorphing_tpu.pallas.warp import fused_warp_planes
+
+                    def make_state(v_):
+                        # bf16 packs: warp AT the rounded linearization point
+                        # so the stored planes and stored v_lin stay
+                        # consistent (quantize_v_lin is a no-op for f32)
+                        v_q = quantize_v_lin(v_, p)
+                        planes = fused_warp_planes(src0, src1, v_q)
+                        return make_sweep_pack_planes(planes, v_q, data, p)
+                else:
+                    def make_state(v_):
+                        wb = rewarp(quantize_v_lin(v_, p))
+                        return make_sweep_pack(wb.w0, wb.dw0, wb.w1, wb.dw1, wb.v_lin, data, p)
+
+                grad_eval = lambda st_, v_: fused_value_grad_precond_pack(st_, v_, (h, w), C, p)
+                energy_eval = lambda st_, v_: fused_total_energy_pack(st_, v_, (h, w), C, p)
         else:
             make_state = rewarp
 

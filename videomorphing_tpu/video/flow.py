@@ -326,7 +326,7 @@ def clip_flows_sharded(
     sharded; downstream consumers (tracking scan, blocked solve) trigger
     the gather lazily.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     a, b = clip[:-1], clip[1:]
@@ -342,7 +342,7 @@ def clip_flows_sharded(
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis), P(axis)), out_specs=P(axis), check_rep=False,
+        in_specs=(P(axis), P(axis)), out_specs=P(axis), check_vma=False,
     )
     fwd, bwd = fn(a, b)
     return fwd[:n], bwd[:n]
