@@ -140,18 +140,43 @@ def main():
     def pack_only(planes_, v_):
         return make_sweep_pack_planes(planes_, v_, data, base)
 
-    for name, fn, fa in (
-        ("fused_warp_planes", warp_only, (v0,)),
-        ("pack_only        ", pack_only, (planes, v0)),
-        ("make_state full  ", state_full, (v0,)),
-    ):
-        fetch(fn(*fa))
+    # split-pack path (warp_into_pack): the warp kernel emits the pack
+    from videomorphing_tpu.pallas.warp import (
+        fused_warp_planes_packed,
+        packed_plane_geometry,
+    )
+    from videomorphing_tpu.pallas.sweep import pack_v
+
+    timed = [
+        ("fused_warp_planes   ", warp_only, lambda vv: (vv,)),
+        ("pack_only           ", pack_only, lambda vv: (planes, vv)),
+        ("make_state combined ", state_full, lambda vv: (vv,)),
+    ]
+    if packed_plane_geometry(base, h, w) is not None:
+
+        @jax.jit
+        def state_split(v_):
+            return fused_warp_planes_packed(src0, src1, v_, base), pack_v(v_, base)
+
+        timed.append(("make_state split    ", state_split, lambda vv: (vv,)))
+
+    for name, fn, mk in timed:
+        fetch(fn(*mk(v0)))
         best = float("inf")
-        for _ in range(3):
+        for rep in range(3):
+            # nudge v per rep: the runtime result-caches identical inputs
+            vv = v0 + 1e-4 * (rep + 1)
             t0 = time.perf_counter()
-            fetch(fn(*fa))
+            fetch(fn(*mk(vv)))
             best = min(best, time.perf_counter() - t0)
         print(f"{name}: {best*1e3:.1f} ms")
+
+    # end-to-end: same fixed-iteration warm solve, combined vs split pack
+    if packed_plane_geometry(base, h, w) is not None:
+        p_sp = dataclasses.replace(p_r4, warp_into_pack=True)
+        t_sp, it_sp = time_solve(i0, i1, v0, p_sp, args.iters, label="relin=4 split")
+        if it_sp == it_r4 and it_r4 > 0:
+            print(f"split-pack solve speedup vs combined: {t_r4 / t_sp:.3f}x")
 
     if args.trace:
         with jax.profiler.trace(args.trace):

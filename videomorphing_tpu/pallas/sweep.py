@@ -455,7 +455,7 @@ def _build_grad_call(
         part_out[0, 3] += e_tc
 
     if split:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 4
         scratch = [
             pltpu.VMEM((6 * C, hh, ww), _pack_dtype(p)),   # warp planes
             pltpu.VMEM((2, hh, ww), jnp.float32),          # v_lin
@@ -464,7 +464,7 @@ def _build_grad_call(
             pltpu.SemaphoreType.DMA,
         ]
     else:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
         scratch = [
             pltpu.VMEM((P, hh, ww), _pack_dtype(p)),
             pltpu.VMEM((2, hh, ww), jnp.float32),
@@ -587,7 +587,7 @@ def _build_energy_call(
         part_out[0, 3] += e_tc
 
     if split:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 4
         scratch = [
             pltpu.VMEM((6 * C, hh, ww), _pack_dtype(p)),
             pltpu.VMEM((2, hh, ww), jnp.float32),
@@ -596,7 +596,7 @@ def _build_energy_call(
             pltpu.SemaphoreType.DMA,
         ]
     else:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
         scratch = [
             pltpu.VMEM((P, hh, ww), _pack_dtype(p)),
             pltpu.VMEM((2, hh, ww), jnp.float32),

@@ -267,8 +267,8 @@ def _build_warp_call(C: int, gy: int, gx: int, interpret: bool, out_dtype=jnp.fl
         num_scalar_prefetch=1,
         grid=(gy, gx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((4, TH, TW), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TH, TW), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM),
         ],
@@ -366,7 +366,7 @@ def _build_sample_call(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gy, gx, nc),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_imgs
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_imgs
         + [
             pl.BlockSpec((2 * n_imgs, th, tw), lambda i, j, k, *_: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * n_imgs, th, tw), lambda i, j, k, *_: (0, i, j), memory_space=pltpu.VMEM),
