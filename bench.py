@@ -190,16 +190,28 @@ def _bench_golden() -> dict:
     }
 
 
+def _bench_params():
+    """Default configs, plus ``BENCH_SET="sec.key=val,..."`` env overrides
+    (same syntax as the CLI's --set) for on-chip A/B runs, e.g.
+    ``BENCH_SET=morph.warp_into_pack=true,morph.pack_dtype=bfloat16``."""
+    from videomorphing_tpu.config import MorphParams, SynthParams, VideoParams
+
+    mp, sp, vp = MorphParams(), SynthParams(), VideoParams()
+    sets = [s for s in os.environ.get("BENCH_SET", "").split(",") if s]
+    if sets:
+        from videomorphing_tpu.cli import _apply_set_overrides
+
+        mp, sp, vp = _apply_set_overrides(sets, mp, sp, vp)
+    return mp, sp, vp
+
+
 def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
     import jax
     import jax.numpy as jnp
 
-    from videomorphing_tpu.config import MorphParams, SynthParams, VideoParams
     from videomorphing_tpu.video.pipeline import morph_video
 
-    mp = MorphParams()
-    sp = SynthParams()
-    vp = VideoParams()
+    mp, sp, vp = _bench_params()
 
     gen = jax.jit(lambda seed: _make_clips_device(t_len, h, w, seed),
                   static_argnums=())
@@ -239,10 +251,8 @@ def _bench_pair(h: int, w: int, n_frames: int, n_points: int = 0, seed0: int = 0
     import jax.numpy as jnp
 
     from videomorphing_tpu import api
-    from videomorphing_tpu.config import MorphParams, SynthParams
 
-    mp = MorphParams()
-    sp = SynthParams()
+    mp, sp, _vp = _bench_params()
     gen = jax.jit(lambda s: _make_clips_device(1, h, w, s))
 
     def once(seed):
