@@ -322,10 +322,50 @@ def _bench_batch_4k() -> dict:
     }
 
 
+def _device_watchdog(timeout_s: int = 240) -> bool:
+    """Probe backend init in a SUBPROCESS with a hard timeout.
+
+    ``jax.devices()`` on the axon backend blocks in C when the tunnel/chip
+    is unreachable (observed: a multi-hour outage) — an in-process SIGALRM
+    can't interrupt it, and the bench would hang forever instead of
+    recording a result. A subprocess probe times out cleanly; on failure
+    the bench emits an explicit error JSON line so the driver's record
+    shows WHY there is no number.
+    """
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return True  # never block the bench on a probe infrastructure error
+
+
 def main(argv=None) -> int:
     import sys as _sys
 
     from videomorphing_tpu.utils.cache import enable_compile_cache
+
+    if not _device_watchdog():
+        print(
+            json.dumps(
+                {
+                    "metric": "morph_frames_per_sec_1080p",
+                    "value": None,
+                    "unit": "frames/s",
+                    "vs_baseline": None,
+                    "error": "device backend unreachable: jax.devices() did not "
+                    "return within 240s (TPU tunnel outage) — no measurement possible",
+                }
+            )
+        )
+        return 1
 
     enable_compile_cache()
     argv = list(_sys.argv[1:] if argv is None else argv)
