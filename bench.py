@@ -83,14 +83,16 @@ def _make_clips_device(t_len: int, h: int, w: int, seed):
     return clip(w * 0.45), clip(w * 0.55)
 
 
-def _bench_kernels() -> dict:
+def _bench_kernels(mp=None) -> dict:
     """On-chip kernel equivalence: compiled Mosaic kernels vs jnp twins.
 
     CI runs the same checks in interpret mode (tests/test_pallas.py); this
     exercises the COMPILED path on real hardware — the class of Mosaic
     codegen bug interpret mode cannot catch (the repo already hit one:
     pallas/warp.py dynamic sublane rolls). Runs as part of every default
-    bench so the number lands in BENCH_r{N}.json.
+    bench so the number lands in BENCH_r{N}.json. ``mp`` (default
+    MorphParams()) must be the SAME config the headline run used, so A/B
+    records gate the config actually benchmarked.
     """
     import jax
     import jax.numpy as jnp
@@ -124,7 +126,7 @@ def _bench_kernels() -> dict:
     v_s = jnp.asarray(
         np.stack([1.5 * np.sin(yy / 40), 2 * np.cos(xx / 50)], -1).astype(np.float32)
     )
-    p = MorphParams()
+    p = MorphParams() if mp is None else mp
 
     def rel(ref, got):
         # traced: scalar per comparison, fetched once
@@ -174,13 +176,14 @@ def _bench_kernels() -> dict:
     }
 
 
-def _bench_golden() -> dict:
+def _bench_golden(mp=None) -> dict:
     """Golden-field midpoint fidelity (utils.golden): the stand-in for the
-    BASELINE "SSIM >= 0.99 vs reference" gate, on analytic cases."""
+    BASELINE "SSIM >= 0.99 vs reference" gate, on analytic cases. ``mp``
+    must match the headline run's config (see _bench_kernels)."""
     from videomorphing_tpu.utils.golden import run_golden
 
-    tr = run_golden("translation", hw=(256, 256))
-    ro = run_golden("rotation", hw=(256, 256))
+    tr = run_golden("translation", hw=(256, 256), mp=mp)
+    ro = run_golden("rotation", hw=(256, 256), mp=mp)
     return {
         "metric": "golden_midpoint_ssim",
         "value": round(min(tr["ssim_mid"], ro["ssim_mid"]), 5),
@@ -322,7 +325,7 @@ def _bench_batch_4k() -> dict:
     }
 
 
-def _device_watchdog(timeout_s: int = 240) -> bool:
+def _device_watchdog(timeout_s: int = 240):
     """Probe backend init in a SUBPROCESS with a hard timeout.
 
     ``jax.devices()`` on the axon backend blocks in C when the tunnel/chip
@@ -331,6 +334,10 @@ def _device_watchdog(timeout_s: int = 240) -> bool:
     recording a result. A subprocess probe times out cleanly; on failure
     the bench emits an explicit error JSON line so the driver's record
     shows WHY there is no number.
+
+    Returns ``None`` when the backend answered, else a reason string that
+    distinguishes a hang (tunnel outage) from a fast failure (device held,
+    libtpu init error, ...), with the probe's stderr tail.
     """
     import subprocess
     import sys as _sys
@@ -340,11 +347,20 @@ def _device_watchdog(timeout_s: int = 240) -> bool:
             [_sys.executable, "-c", "import jax; jax.devices()"],
             timeout=timeout_s, capture_output=True,
         )
-        return r.returncode == 0
     except subprocess.TimeoutExpired:
-        return False
+        return (
+            f"jax.devices() did not return within {timeout_s}s "
+            "(TPU tunnel outage)"
+        )
     except Exception:
-        return True  # never block the bench on a probe infrastructure error
+        return None  # never block the bench on a probe infrastructure error
+    if r.returncode == 0:
+        return None
+    tail = (r.stderr or b"").decode(errors="replace").strip().splitlines()
+    return (
+        f"device backend probe exited {r.returncode}: "
+        f"{tail[-1] if tail else 'no stderr'}"
+    )
 
 
 def main(argv=None) -> int:
@@ -352,7 +368,8 @@ def main(argv=None) -> int:
 
     from videomorphing_tpu.utils.cache import enable_compile_cache
 
-    if not _device_watchdog():
+    down_reason = _device_watchdog()
+    if down_reason is not None:
         print(
             json.dumps(
                 {
@@ -360,8 +377,8 @@ def main(argv=None) -> int:
                     "value": None,
                     "unit": "frames/s",
                     "vs_baseline": None,
-                    "error": "device backend unreachable: jax.devices() did not "
-                    "return within 240s (TPU tunnel outage) — no measurement possible",
+                    "error": f"device backend unreachable — no measurement "
+                    f"possible: {down_reason}",
                 }
             )
         )
@@ -383,10 +400,10 @@ def main(argv=None) -> int:
         print(json.dumps(_bench_batch_4k()))
         return 0
     if config == "kernels":
-        print(json.dumps(_bench_kernels()))
+        print(json.dumps(_bench_kernels(_bench_params()[0])))
         return 0
     if config == "golden":
-        print(json.dumps(_bench_golden()))
+        print(json.dumps(_bench_golden(_bench_params()[0])))
         return 0
     if config == "video_480p":
         os.environ.setdefault("BENCH_FRAMES", "30")
@@ -407,16 +424,19 @@ def main(argv=None) -> int:
     baseline_per_chip = 3.0 / 8.0  # north star: 30 frames / 10 s on 8 chips
 
     # ride the fidelity + kernel-equivalence gates along in the ONE
-    # headline JSON line so every BENCH_r{N}.json records them
+    # headline JSON line so every BENCH_r{N}.json records them — under the
+    # SAME BENCH_SET config the headline run used, so A/B records carry the
+    # tested config's gate numbers, not the defaults'
+    bench_mp = _bench_params()[0]
     extra = {}
     try:
-        k = _bench_kernels()
+        k = _bench_kernels(bench_mp)
         extra["kernel_max_rel_err"] = k["value"]
         extra["kernel_compiled"] = k["compiled"]
     except Exception as e:  # pragma: no cover - defensive: never lose the fps line
         extra["kernel_max_rel_err"] = f"error: {e}"
     try:
-        g = _bench_golden()
+        g = _bench_golden(bench_mp)
         extra["golden_midpoint_ssim"] = g["value"]
     except Exception as e:  # pragma: no cover
         extra["golden_midpoint_ssim"] = f"error: {e}"

@@ -34,46 +34,7 @@ def fetch(x):
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))  # tunnel-safe barrier
 
 
-def make_pair(h, w, seed):
-    """Band-limited texture pair with a smooth ~rotational warp between them."""
-    key = jax.random.PRNGKey(seed)
-
-    @jax.jit
-    def build(key):
-        yy, xx = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
-        ks = jax.random.split(key, 3)
-        img = jnp.zeros((h, w))
-        # multi-scale texture: log-uniform periods from ~12 px to ~h/3 so
-        # EVERY pyramid level carries signal (a high-frequency-only or
-        # few-grating texture leaves coarse levels unconstrained / is
-        # self-similar enough for false SSIM locks — measured garbage
-        # fields on the first version of this workload)
-        n_waves = 24
-        for i in range(n_waves):
-            per = jnp.exp(jax.random.uniform(
-                jax.random.fold_in(ks[0], i), (),
-                minval=jnp.log(12.0), maxval=jnp.log(h / 3.0)))
-            ang = jax.random.uniform(jax.random.fold_in(ks[1], i), (), minval=0.0, maxval=6.28)
-            ph = jax.random.uniform(jax.random.fold_in(ks[2], i), (), minval=0.0, maxval=6.28)
-            f = 2.0 * jnp.pi / per
-            img = img + jnp.cos(f * (jnp.sin(ang) * yy + jnp.cos(ang) * xx) + ph)
-        img = 0.5 + img / (2.0 * jnp.sqrt(n_waves))
-        # smooth displacement: rotation-ish, max ~30 px at 4K
-        cy, cx = h / 2, w / 2
-        r = jnp.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
-        ang = 0.015 * jnp.exp(-r / (0.4 * h))
-        dy = -(xx - cx) * ang
-        dx = (yy - cy) * ang
-        c0 = jnp.stack([yy - dy, xx - dx], -1)
-        c1 = jnp.stack([yy + dy, xx + dx], -1)
-        from videomorphing_tpu.ops.resample import bilinear_sample
-
-        i0 = bilinear_sample(img[..., None], c0)
-        i1 = bilinear_sample(img[..., None], c1)
-        rgb = lambda g: jnp.clip(jnp.concatenate([g, g * 0.9 + 0.05, g * 0.8 + 0.1], -1), 0, 1)
-        return rgb(i0), rgb(i1), jnp.stack([dy, dx], -1)
-
-    return build(key)
+from scripts.synth_workload import make_pair  # noqa: E402  (shared workload)
 
 
 def fits_diagnostics(v, th, tw, d_budget, dx_budget):
@@ -88,14 +49,19 @@ def fits_diagnostics(v, th, tw, d_budget, dx_budget):
     @jax.jit
     def diag(v):
         from videomorphing_tpu.ops.resample import grid_coords
+        from videomorphing_tpu.pallas.warp import MX, MY
 
         g = grid_coords(h, w, v.dtype)
         stats = []
         for c in (g - v, g + v):
-            y = jnp.clip(c[..., 0], 0.0, h - 1.0)
-            x = jnp.clip(c[..., 1], 0.0, w - 1.0)
-            iy = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
-            ix = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+            # mirror _prep_image's EXTENDED clip (warp.py: sources are
+            # edge-replicated by (MY, MX), so off-frame taps within the
+            # margins stay on the fast path — the old hard [0, h-1] clamp
+            # here reported fits=False for fields the kernel accepts)
+            y = jnp.clip(c[..., 0], -float(MY), h - 1.0 + MY)
+            x = jnp.clip(c[..., 1], -float(MX), w - 1.0 + MX)
+            iy = jnp.clip(jnp.floor(y), -float(MY), h - 2.0 + MY).astype(jnp.int32)
+            ix = jnp.clip(jnp.floor(x), -float(MX), w - 2.0 + MX).astype(jnp.int32)
             hp, wp = gy * th, gx * tw
             row_in = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) % th
             col_in = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) % tw

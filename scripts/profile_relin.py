@@ -27,52 +27,19 @@ import jax
 import jax.numpy as jnp
 
 from videomorphing_tpu.config import MorphParams
-from videomorphing_tpu.solver.energy import build_level_data
+from videomorphing_tpu.solver.energy import make_level_data
 from videomorphing_tpu.solver.descent import make_level_solver
 from videomorphing_tpu.utils.cache import enable_compile_cache
+
+from scripts.synth_workload import make_pair  # shared workload (0.012 below)
 
 
 def fetch(x):
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
 
 
-def make_pair(h, w, seed):
-    key = jax.random.PRNGKey(seed)
-
-    @jax.jit
-    def build(key):
-        yy, xx = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
-        ks = jax.random.split(key, 3)
-        img = jnp.zeros((h, w))
-        n_waves = 24
-        for i in range(n_waves):
-            per = jnp.exp(jax.random.uniform(
-                jax.random.fold_in(ks[0], i), (),
-                minval=jnp.log(12.0), maxval=jnp.log(h / 3.0)))
-            ang = jax.random.uniform(jax.random.fold_in(ks[1], i), (), minval=0.0, maxval=6.28)
-            ph = jax.random.uniform(jax.random.fold_in(ks[2], i), (), minval=0.0, maxval=6.28)
-            f = 2.0 * jnp.pi / per
-            img = img + jnp.cos(f * (jnp.sin(ang) * yy + jnp.cos(ang) * xx) + ph)
-        img = 0.5 + img / (2.0 * jnp.sqrt(n_waves))
-        cy, cx = h / 2, w / 2
-        r = jnp.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
-        ang = 0.012 * jnp.exp(-r / (0.4 * h))
-        dy = -(xx - cx) * ang
-        dx = (yy - cy) * ang
-        c0 = jnp.stack([yy - dy, xx - dx], -1)
-        c1 = jnp.stack([yy + dy, xx + dx], -1)
-        from videomorphing_tpu.ops.resample import bilinear_sample
-
-        i0 = bilinear_sample(img[..., None], c0)
-        i1 = bilinear_sample(img[..., None], c1)
-        rgb = lambda g: jnp.clip(jnp.concatenate([g, g * 0.9 + 0.05, g * 0.8 + 0.1], -1), 0, 1)
-        return rgb(i0), rgb(i1), jnp.stack([dy, dx], -1)
-
-    return build(key)
-
-
 def time_solve(i0, i1, v0, p, n_iters, reps=3, label=""):
-    data = build_level_data(i0, i1, p)
+    data = make_level_data(i0, i1)
     solve = jax.jit(make_level_solver(p, n_iters))
     best = float("inf")
     for rep in range(reps):
@@ -98,7 +65,7 @@ def main():
     enable_compile_cache()
     print("backend:", jax.default_backend(), jax.devices())
     h, w = args.h, args.w
-    i0, i1, v_true = make_pair(h, w, int(time.time_ns()) % (1 << 31))
+    i0, i1, v_true = make_pair(h, w, int(time.time_ns()) % (1 << 31), ang_scale=0.012)
     fetch(i0)
     # warm-ish start: a smooth field near the truth (the warm-scan regime)
     v0 = (-v_true * 0.9).astype(jnp.float32)
@@ -122,7 +89,7 @@ def main():
     from videomorphing_tpu.pallas.sweep import make_sweep_pack_planes
     from videomorphing_tpu.pallas.warp import fused_warp_planes, make_warp_source
 
-    data = build_level_data(i0, i1, base)
+    data = make_level_data(i0, i1)
     src0 = make_warp_source(data.i0)
     src1 = make_warp_source(data.i1)
 
@@ -181,7 +148,7 @@ def main():
     if args.trace:
         with jax.profiler.trace(args.trace):
             v_f, _ = jax.jit(make_level_solver(p_r4, args.iters))(
-                v0, build_level_data(i0, i1, p_r4))
+                v0, make_level_data(i0, i1))
             fetch(v_f)
         print("trace written to", args.trace)
 

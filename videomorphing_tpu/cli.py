@@ -94,10 +94,34 @@ def _apply_set_overrides(sets, mp, sp, vp):
         try:
             parsed = json.loads(val)
         except json.JSONDecodeError:
-            parsed = val
+            low = val.strip().lower()
+            # accept the common boolean spellings beyond JSON's true/false;
+            # anything else stays a string (bool("False") == True was a trap)
+            if low in ("true", "yes", "on"):
+                parsed = True
+            elif low in ("false", "no", "off"):
+                parsed = False
+            else:
+                parsed = val
         cur = getattr(cfg, field)
-        if cur is not None and not isinstance(parsed, type(cur)) and isinstance(cur, (int, float, bool)):
-            parsed = type(cur)(parsed)
+        if isinstance(cur, bool):
+            if not isinstance(parsed, bool):
+                raise SystemExit(
+                    f"--set {sec}.{field} expects a boolean, got {val!r} "
+                    "(use true/false)"
+                )
+        elif isinstance(cur, int) and cur is not None:
+            if isinstance(parsed, str) or (
+                isinstance(parsed, float) and parsed != int(parsed)
+            ):
+                raise SystemExit(f"--set {sec}.{field} expects an int, got {val!r}")
+            if isinstance(parsed, (int, float)):
+                parsed = int(parsed)
+        elif isinstance(cur, float):
+            if isinstance(parsed, str):
+                raise SystemExit(f"--set {sec}.{field} expects a number, got {val!r}")
+            if isinstance(parsed, (int, float)):
+                parsed = float(parsed)
         secs[sec] = dataclasses.replace(cfg, **{field: parsed})
     return secs["morph"], secs["synth"], secs["video"]
 

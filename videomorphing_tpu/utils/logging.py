@@ -12,6 +12,7 @@ import json
 import logging
 import sys
 import time
+from functools import lru_cache as _lru_cache
 from typing import Any, Dict, Optional
 
 logger = logging.getLogger("videomorphing_tpu")
@@ -86,17 +87,32 @@ def endpoint_ssim(frames, src_a, src_b) -> "Dict[str, float]":
     """
     import jax.numpy as jnp
 
-    from videomorphing_tpu.ops.ssim import dssim_map
-
     f0 = jnp.asarray(frames[0])
     f1 = jnp.asarray(frames[-1])
     a = jnp.asarray(src_a, f0.dtype)
     b = jnp.asarray(src_b, f0.dtype)
-    # interior crop: the 1-px border is edge-clamped by the warps
-    sl = (slice(2, -2), slice(2, -2))
-    s0 = 1.0 - float(jnp.mean(dssim_map(f0[sl], a[sl])))
-    s1 = 1.0 - float(jnp.mean(dssim_map(f1[sl], b[sl])))
-    return {"ssim_t0_vs_a": round(s0, 5), "ssim_t1_vs_b": round(s1, 5)}
+    s0, s1 = _jitted_endpoint_measure()(f0, f1, a, b)
+    return {"ssim_t0_vs_a": round(float(s0), 5), "ssim_t1_vs_b": round(float(s1), 5)}
+
+
+@_lru_cache(maxsize=None)
+def _jitted_endpoint_measure():
+    # ONE jit: eager per-op dispatch pays ~30 ms tunnel latency each on the
+    # production backend (PERF.md methodology)
+    import jax
+    import jax.numpy as jnp
+
+    from videomorphing_tpu.ops.ssim import dssim_map
+
+    @jax.jit
+    def measure(f0, f1, a, b):
+        sl = (slice(2, -2), slice(2, -2))  # warps edge-clamp the 1-px border
+        return (
+            1.0 - jnp.mean(dssim_map(f0[sl], a[sl])),
+            1.0 - jnp.mean(dssim_map(f1[sl], b[sl])),
+        )
+
+    return measure
 
 
 def midpoint_agreement_ssim(v, i0, i1, crop: int = 4) -> "Dict[str, float]":
@@ -112,15 +128,31 @@ def midpoint_agreement_ssim(v, i0, i1, crop: int = 4) -> "Dict[str, float]":
     """
     import jax.numpy as jnp
 
-    from videomorphing_tpu.ops.resample import bilinear_sample, grid_coords
-    from videomorphing_tpu.ops.ssim import dssim_map
-
     v = jnp.asarray(v)
     i0 = jnp.asarray(i0, v.dtype)
     i1 = jnp.asarray(i1, v.dtype)
-    g = grid_coords(v.shape[0], v.shape[1], v.dtype)
-    w0 = bilinear_sample(i0, g - v)
-    w1 = bilinear_sample(i1, g + v)
-    sl = (slice(crop, -crop), slice(crop, -crop))
-    s = 1.0 - float(jnp.mean(dssim_map(w0[sl], w1[sl])))
+    s = float(_jitted_midpoint_measure()(v, i0, i1, crop))
     return {"ssim_halfway_agreement": round(s, 5)}
+
+
+@_lru_cache(maxsize=None)
+def _jitted_midpoint_measure():
+    # ONE jit (see endpoint_ssim): this runs in every CLI invocation and
+    # its eager form cost ~a second of tunnel latency at 1080p
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from videomorphing_tpu.ops.resample import bilinear_sample, grid_coords
+    from videomorphing_tpu.ops.ssim import dssim_map
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def measure(v, i0, i1, crop):
+        g = grid_coords(v.shape[0], v.shape[1], v.dtype)
+        w0 = bilinear_sample(i0, g - v)
+        w1 = bilinear_sample(i1, g + v)
+        sl = (slice(crop, -crop), slice(crop, -crop))
+        return 1.0 - jnp.mean(dssim_map(w0[sl], w1[sl]))
+
+    return measure
