@@ -184,12 +184,14 @@ def _bench_golden(mp=None) -> dict:
 
     tr = run_golden("translation", hw=(256, 256), mp=mp)
     ro = run_golden("rotation", hw=(256, 256), mp=mp)
+    sc = run_golden("scale", hw=(256, 256), mp=mp)
     return {
         "metric": "golden_midpoint_ssim",
-        "value": round(min(tr["ssim_mid"], ro["ssim_mid"]), 5),
+        "value": round(min(tr["ssim_mid"], ro["ssim_mid"], sc["ssim_mid"]), 5),
         "unit": "ssim",
         "translation": tr,
         "rotation": ro,
+        "scale": sc,
     }
 
 

@@ -15,6 +15,7 @@ from videomorphing_tpu.config import MorphParams, SynthParams
 from videomorphing_tpu.utils.golden import (
     rotation_case,
     run_golden,
+    scale_case,
     translation_case,
 )
 
@@ -48,6 +49,23 @@ class TestCases:
         err = np.abs(np.asarray(w0 - w1))[c:-c, c:-c]
         assert err.max() < 2e-2, err.max()  # bilinear interp noise only
 
+    def test_scale_case_v_true_is_consistent(self):
+        """Same correspondence identity for the divergent zoom case, plus:
+        both warped sources must equal the analytic midpoint frame."""
+        import jax.numpy as jnp
+
+        from videomorphing_tpu.ops.resample import bilinear_sample, grid_coords
+
+        g = scale_case(96, 96, k=1.12)
+        grid = grid_coords(96, 96, jnp.float32)
+        w0 = bilinear_sample(g.i0, grid - g.v_true)
+        w1 = bilinear_sample(g.i1, grid + g.v_true)
+        c = g.crop
+        err01 = np.abs(np.asarray(w0 - w1))[c:-c, c:-c]
+        err_mid = np.abs(np.asarray(w0 - g.mid_true))[c:-c, c:-c]
+        assert err01.max() < 2e-2, err01.max()
+        assert err_mid.max() < 2e-2, err_mid.max()
+
 
 @pytest.mark.slow
 class TestGoldenGate:
@@ -60,4 +78,9 @@ class TestGoldenGate:
     def test_rotation_midpoint_ssim(self):
         mp = MorphParams(n_levels=4)
         r = run_golden("rotation", hw=(128, 128), mp=mp)
+        assert r["ssim_mid"] >= 0.99, r
+
+    def test_scale_midpoint_ssim(self):
+        mp = MorphParams(n_levels=4)
+        r = run_golden("scale", hw=(128, 128), mp=mp)
         assert r["ssim_mid"] >= 0.99, r

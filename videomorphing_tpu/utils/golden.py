@@ -22,6 +22,9 @@ Cases (derivations in the docstrings):
   M(q) = tex(R(-theta)(q - c) + c). The quadratic-path bulge approximates
   exactly this arc ([TOG14 s5.1]) — this case exercises solver + paths +
   renderer end-to-end against an analytic truth.
+- ``scale``: I1 is I0 zoomed by k about the center. True field
+  v(p) = ((k-1)/(k+1))(p - c) — divergent where rotation is solenoidal and
+  translation constant; zoom paths are straight, so the bulge must vanish.
 
 Unlike the endpoint SSIM (which a wrong-but-smooth field passes, VERDICT
 round 1), a field error here directly misplaces texture in the midpoint
@@ -126,6 +129,43 @@ def rotation_case(
     return GoldenCase(i0=i0, i1=i1, mid_true=mid, v_true=v_true, crop=crop)
 
 
+def scale_case(
+    h: int = 256, w: int = 256, k: float = 1.1, seed: int = 2,
+    channels: int = 3,
+) -> GoldenCase:
+    """I1 is I0 zoomed by factor ``k`` about the center — a DIVERGENT true
+    field, complementing translation (constant) and rotation (solenoidal).
+
+    Derivation: the zoom correspondence is x1 = c + k (x0 - c). The halfway
+    point is p = (x0 + x1)/2 = c + (1+k)/2 (x0 - c), so
+
+        v(p) = (x1 - x0)/2 = ((k-1)/(k+1)) (p - c),
+        phi0(p) = c + 2/(k+1) (p - c),   phi1(p) = c + 2k/(k+1) (p - c).
+
+    With I0(q) = tex(q) and I1(q) = tex(c + (q - c)/k), both warped sources
+    evaluate to tex(c + 2/(k+1)(q - c)) at the halfway point — the exact
+    midpoint frame. Zoom trajectories are straight lines (points move
+    radially), so the linear-path midpoint IS the truth and the quadratic
+    bulge of a curl-free field should vanish — this case catches a bulge
+    solver that hallucinates rotation from divergence.
+    """
+    key = jax.random.PRNGKey(seed)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+    xs = jnp.ones((h, 1), jnp.float32) * jnp.arange(w, dtype=jnp.float32)[None, :]
+    ry, rx = ys - cy, xs - cx
+
+    i0 = _texture(key, ys, xs, channels)
+    i1 = _texture(key, cy + ry / k, cx + rx / k, channels)
+    a_mid = 2.0 / (k + 1.0)
+    mid = _texture(key, cy + a_mid * ry, cx + a_mid * rx, channels)
+    alpha = (k - 1.0) / (k + 1.0)
+    v_true = jnp.stack([alpha * ry, alpha * rx], axis=-1)
+    max_disp = abs(k - 1.0) * float(np.hypot(cy, cx))
+    crop = int(np.ceil(max_disp)) + 12
+    return GoldenCase(i0=i0, i1=i1, mid_true=mid, v_true=v_true, crop=crop)
+
+
 def ssim(a: jnp.ndarray, b: jnp.ndarray, crop: int = 0) -> float:
     from videomorphing_tpu.ops.ssim import dssim_map
 
@@ -160,6 +200,8 @@ def run_golden(
         g = translation_case(h, w, seed=seed)
     elif case == "rotation":
         g = rotation_case(h, w, seed=seed)
+    elif case == "scale":
+        g = scale_case(h, w, seed=seed)
     else:
         raise ValueError(f"unknown golden case {case!r}")
 
