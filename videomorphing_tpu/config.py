@@ -208,6 +208,12 @@ class VideoParams:
     # abs — warm frames start close to the optimum)
     warm_iters_mid: int = 20
     warm_iters_fine: int = 12
+    # number of warm-solve pyramid levels; 0 = auto (2 up to ~1080p — the
+    # probed configuration — and 3 above, so 4K video keeps a coarse
+    # safety net when advection confidence is low; see
+    # video.pipeline.warm_level_count). Non-finest levels run
+    # warm_iters_mid, the finest warm_iters_fine.
+    warm_levels: int = 0
 
     dtype: str = "float32"
 
