@@ -218,6 +218,16 @@ def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
 
     mp, sp, vp = _bench_params()
 
+    # engage the full config-4 mesh story when more than one chip is
+    # visible: blocked solve + sharded flows + sharded synthesis (the
+    # single-chip dev environment never takes this branch; a real v5e-8
+    # must, or the bench under-uses 7 chips)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from videomorphing_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
     gen = jax.jit(lambda seed: _make_clips_device(t_len, h, w, seed),
                   static_argnums=())
 
@@ -229,7 +239,8 @@ def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
         clip_a, clip_b = gen(jnp.int32(seed))
         clip_a.block_until_ready()
         clip_b.block_until_ready()
-        res = morph_video(clip_a, clip_b, mp=mp, sp=sp, vp=vp, render=True)
+        res = morph_video(clip_a, clip_b, mp=mp, sp=sp, vp=vp, render=True,
+                          mesh=mesh)
         # a scalar fetch is the only reliable full barrier on this backend
         float(jnp.sum(res.frames[-1]))
         return res

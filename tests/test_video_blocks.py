@@ -115,3 +115,56 @@ def test_blocked_propagate_flag_honored():
     assert np.isfinite(np.asarray(blk)).all()
     diff = np.abs(np.asarray(blk) - np.asarray(seq))
     assert diff.mean() < 5e-2, diff.mean()
+
+
+def test_sharded_video_render_matches_sequential():
+    """render_video with a mesh (frames sharded, bulge computed in-program)
+    must reproduce the sequential lax.map render — including the padded
+    (T % D != 0) case."""
+    from videomorphing_tpu.video.pipeline import render_video
+
+    t_len, h, w = 5, 24, 32  # 5 frames over 8 devices: exercises padding
+    clip_a = _moving_clip(t_len, h, w, (12, 8), (0, 1))
+    clip_b = _moving_clip(t_len, h, w, (12, 12), (0, 1))
+    fields = jnp.stack(
+        [jnp.full((h, w, 2), 0.3 * k, jnp.float32) for k in range(t_len)]
+    )
+    sp = SynthParams()
+    vp = VideoParams(flow_iters=10)
+    mesh = make_mesh()
+
+    seq = render_video(clip_a, clip_b, fields, sp=sp, vp=vp)
+    shd = render_video(clip_a, clip_b, fields, sp=sp, vp=vp, mesh=mesh)
+
+    assert shd.frames.shape == seq.frames.shape == (t_len, h, w, 3)
+    np.testing.assert_allclose(
+        np.asarray(shd.frames), np.asarray(seq.frames), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(shd.bulges), np.asarray(seq.bulges), atol=2e-5
+    )
+
+
+def test_morph_video_full_mesh_path():
+    """morph_video(mesh=...): blocked solve + sharded synthesis composed —
+    the exact program bench.py runs on a multi-chip machine."""
+    from videomorphing_tpu.video.pipeline import morph_video
+
+    t_len, h, w = 4, 24, 24
+    clip_a = _moving_clip(t_len, h, w, (12, 6), (0, 1))
+    clip_b = _moving_clip(t_len, h, w, (12, 9), (0, 1))
+    mp = MorphParams(n_levels=2, iters_coarse=15, iters_fine=8)
+    vp = VideoParams(flow_iters=15)
+    mesh = make_mesh((4,), ("batch",))
+
+    res = morph_video(clip_a, clip_b, mp=mp, vp=vp, mesh=mesh)
+    assert res.frames.shape == (t_len, h, w, 3)
+    assert res.fields.shape == (t_len, h, w, 2)
+    assert np.isfinite(np.asarray(res.frames)).all()
+    # endpoints must reproduce the sources (same gate the CLI emits)
+    np.testing.assert_allclose(
+        np.asarray(res.frames[0]), np.asarray(clip_a[0]), atol=0.08
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.frames[-1]), np.asarray(clip_b[-1]), atol=0.08
+    )

@@ -91,6 +91,62 @@ def render_clip_sharded(
     return out[:n]
 
 
+def render_video_frames_sharded(
+    clip_a: jnp.ndarray,
+    clip_b: jnp.ndarray,
+    fields: jnp.ndarray,
+    times: jnp.ndarray,
+    conf_a: jnp.ndarray,
+    conf_b: jnp.ndarray,
+    mesh: Mesh,
+    sp: SynthParams = SynthParams(),
+    axis: str = "batch",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Video synthesis sharded across the mesh: frame t of the morph needs
+    only (A_t, B_t, v_t, t_t, conf_t), so the whole synthesis half of
+    config 4 is embarrassingly parallel across frames (SURVEY.md section 3
+    "Frame data-parallelism") — unlike :func:`render_clip_sharded`, every
+    frame here has its OWN sources, so all inputs shard on the T axis.
+
+    Computes the quadratic-path bulge per frame inside the same program
+    (one dispatch for the entire synthesis phase). T pads to a multiple of
+    the axis size (repeat-last, trimmed after). Returns ``(bulges,
+    frames)``.
+
+    ``shard_map`` + per-device ``lax.map``, NOT vmap — ``render_frame``
+    carries ``lax.cond`` fast-path dispatch (ARCHITECTURE.md landmine).
+    """
+    from jax import shard_map
+
+    from videomorphing_tpu.synth.paths import bulge_field
+
+    n_dev = mesh.shape[axis]
+    t_len = clip_a.shape[0]
+    args = (clip_a, clip_b, fields, times.astype(fields.dtype), conf_a, conf_b)
+    args = tuple(_pad_to_multiple(x, n_dev)[0] for x in args)
+
+    def local(a, b, v, ts, ca, cb):
+        def one(xs):
+            a_, b_, v_, t_, ca_, cb_ = xs
+            bl_ = (
+                bulge_field(v_, sp)
+                if sp.quadratic_paths
+                else jnp.zeros_like(v_)
+            )
+            return bl_, render_frame(a_, b_, v_, bl_, t_, sp, conf0=ca_, conf1=cb_)
+
+        return jax.lax.map(one, (a, b, v, ts, ca, cb))
+
+    run = jax.jit(
+        shard_map(
+            local, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis), check_vma=False,
+        )
+    )
+    bulges, frames = run(*args)
+    return bulges[:t_len], frames[:t_len]
+
+
 def optimize_pairs_batched(
     i0s: jnp.ndarray,
     i1s: jnp.ndarray,

@@ -318,7 +318,7 @@ def morph_video(
     fields, tracked, flows = solve_clip_fields(clip_a, clip_b, points, mp, vp, mesh=mesh)
     res = render_video(
         clip_a, clip_b, fields, times=times, sp=sp, vp=vp,
-        flows=flows, render=render,
+        flows=flows, render=render, mesh=mesh,
     )
     return res._replace(tracked_points=tracked)
 
@@ -333,6 +333,8 @@ def render_video(
     bulges: Optional[jnp.ndarray] = None,
     flows: Optional[dict] = None,
     render: bool = True,
+    mesh=None,
+    mesh_axis: str = "batch",
 ) -> VideoResult:
     """Synthesis half of the pipeline: paths + occlusion-aware render.
 
@@ -340,10 +342,15 @@ def render_video(
     field store without re-optimizing (SURVEY.md section 6 checkpoint/
     resume — the reference caches converged fields for exactly this).
     ``flows`` (from :func:`solve_clip_fields`) are recomputed if absent and
-    occlusion weighting is on.
+    occlusion weighting is on. With a ``mesh``, frames shard across
+    devices (synthesis is embarrassingly parallel — the config-4 story's
+    other half).
     """
     t_len = clip_a.shape[0]
-    if bulges is None and sp.quadratic_paths:
+    use_sharded = (
+        render and mesh is not None and int(mesh.shape[mesh_axis]) > 1 and t_len > 1
+    )
+    if bulges is None and sp.quadratic_paths and not use_sharded:
         bulges = _jitted_bulges(sp)(fields)
 
     frames = None
@@ -362,10 +369,20 @@ def render_video(
             conf_a = jnp.ones(clip_a.shape[:3], clip_a.dtype)
             conf_b = conf_a
 
-        bl_arg = bulges if bulges is not None else jnp.zeros_like(fields)
-        frames = _jitted_video_render(sp)(
-            clip_a, clip_b, fields, bl_arg, times, conf_a, conf_b
-        )
+        if use_sharded:
+            from videomorphing_tpu.parallel.frames import render_video_frames_sharded
+
+            sh_bulges, frames = render_video_frames_sharded(
+                clip_a, clip_b, fields, times, conf_a, conf_b,
+                mesh, sp, mesh_axis,
+            )
+            if bulges is None and sp.quadratic_paths:
+                bulges = sh_bulges
+        else:
+            bl_arg = bulges if bulges is not None else jnp.zeros_like(fields)
+            frames = _jitted_video_render(sp)(
+                clip_a, clip_b, fields, bl_arg, times, conf_a, conf_b
+            )
 
     return VideoResult(fields=fields, bulges=bulges, frames=frames, tracked_points=None)
 
