@@ -13,6 +13,7 @@ set -u
 cd "$(dirname "$0")/.."          # repo root: the axon backend needs cwd here
 OUT="${1:-/tmp/onchip}"
 mkdir -p "$OUT"
+FAILED=0
 
 step() {  # step <name> <timeout_s> <cmd...>
   local name="$1" tmo="$2"; shift 2
@@ -27,14 +28,18 @@ step() {  # step <name> <timeout_s> <cmd...>
   timeout "$tmo" "$@" > "$OUT/$name.retry.log" 2>&1
   rc=$?
   tail -3 "$OUT/$name.retry.log"
-  [ $rc -ne 0 ] && echo "!!! $name failed twice (rc=$rc)"
+  if [ $rc -ne 0 ]; then
+    echo "!!! $name failed twice (rc=$rc)"
+    FAILED=$((FAILED + 1))
+  fi
   return $rc
 }
 
-# 1. Mosaic-vs-jnp kernel equivalence and the golden gates (fast, and they
-#    gate everything else)
-step kernels 1200 python bench.py kernels
-step golden  2400 python bench.py golden
+# 1. Mosaic-vs-jnp kernel equivalence and the golden gates — these GATE
+#    everything else: if the kernels or the fidelity gates are broken,
+#    don't burn the tunnel window collecting numbers under a broken config
+step kernels 1200 python bench.py kernels || { echo "ABORT: kernel gate failed"; exit 2; }
+step golden  2400 python bench.py golden  || { echo "ABORT: golden gate failed"; exit 2; }
 
 # 2. The north star, default config (30-frame 1080p measured)
 step north_star 3600 python bench.py
@@ -44,7 +49,7 @@ step ab_warp_into_pack 3600 env BENCH_SET=morph.warp_into_pack=true python bench
 step ab_bf16_pack      3600 env BENCH_SET=morph.pack_dtype=bfloat16 python bench.py
 
 # 4. Quality probes for the knobs (decision data for flipping defaults)
-step probe_bf16 2400 python scripts/probe_bf16.py
+step probe_bf16 2400 python scripts/probe_knob.py --set morph.pack_dtype=bfloat16
 step probe_flow_scale 2400 python scripts/probe_knob.py --set video.flow_scale=0.25
 
 # 5. Kernel-level cost attribution (relin vs iteration; split-pack timing)
@@ -59,5 +64,6 @@ step pair_256 1800 python bench.py pair_256
 step pair_1k  2400 python bench.py pair_1k
 step batch_4k 3600 python bench.py batch_4k
 
-echo "=== queue done; logs in $OUT ==="
-grep -h '"metric"' "$OUT"/*.log 2>/dev/null || true
+echo "=== queue done; $FAILED step(s) failed twice; logs in $OUT ==="
+grep -h '"metric"' "$OUT"/*.log 2>/dev/null
+exit "$FAILED"

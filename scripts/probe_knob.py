@@ -1,4 +1,4 @@
-"""Quality + speed probe for ANY config knob (generalizes probe_bf16).
+"""Quality + speed probe for ANY config knob.
 
 Run from /root/repo on the TPU:
 

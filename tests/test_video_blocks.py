@@ -145,6 +145,32 @@ def test_sharded_video_render_matches_sequential():
     )
 
 
+def test_sharded_video_render_honors_caller_bulges():
+    """A checkpoint re-render passes stored bulges; the mesh path must
+    render with THOSE, not recompute (round-2 review finding)."""
+    from videomorphing_tpu.video.pipeline import render_video
+
+    t_len, h, w = 4, 24, 24
+    clip_a = _moving_clip(t_len, h, w, (12, 8), (0, 1))
+    clip_b = _moving_clip(t_len, h, w, (12, 12), (0, 1))
+    fields = jnp.full((t_len, h, w, 2), 0.5, jnp.float32)
+    # deliberately NON-physical stored bulges: output must reflect them
+    stored = jnp.full((t_len, h, w, 2), 2.0, jnp.float32)
+    sp = SynthParams()
+    vp = VideoParams(flow_iters=10)
+    mesh = make_mesh((4,), ("batch",))
+
+    seq = render_video(clip_a, clip_b, fields, sp=sp, vp=vp, bulges=stored)
+    shd = render_video(clip_a, clip_b, fields, sp=sp, vp=vp, bulges=stored, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(shd.frames), np.asarray(seq.frames), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(shd.bulges), np.asarray(stored))
+    # and they differ from a recompute-from-fields render
+    fresh = render_video(clip_a, clip_b, fields, sp=sp, vp=vp, mesh=mesh)
+    assert np.abs(np.asarray(fresh.frames) - np.asarray(shd.frames)).max() > 1e-3
+
+
 def test_morph_video_full_mesh_path():
     """morph_video(mesh=...): blocked solve + sharded synthesis composed —
     the exact program bench.py runs on a multi-chip machine."""

@@ -91,60 +91,88 @@ def render_clip_sharded(
     return out[:n]
 
 
-def render_video_frames_sharded(
-    clip_a: jnp.ndarray,
-    clip_b: jnp.ndarray,
-    fields: jnp.ndarray,
-    times: jnp.ndarray,
-    conf_a: jnp.ndarray,
-    conf_b: jnp.ndarray,
-    mesh: Mesh,
-    sp: SynthParams = SynthParams(),
-    axis: str = "batch",
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Video synthesis sharded across the mesh: frame t of the morph needs
-    only (A_t, B_t, v_t, t_t, conf_t), so the whole synthesis half of
-    config 4 is embarrassingly parallel across frames (SURVEY.md section 3
-    "Frame data-parallelism") — unlike :func:`render_clip_sharded`, every
-    frame here has its OWN sources, so all inputs shard on the T axis.
-
-    Computes the quadratic-path bulge per frame inside the same program
-    (one dispatch for the entire synthesis phase). T pads to a multiple of
-    the axis size (repeat-last, trimmed after). Returns ``(bulges,
-    frames)``.
-
-    ``shard_map`` + per-device ``lax.map``, NOT vmap — ``render_frame``
-    carries ``lax.cond`` fast-path dispatch (ARCHITECTURE.md landmine).
-    """
+@functools.lru_cache(maxsize=None)
+def _jitted_video_render_sharded(
+    mesh: Mesh, sp: SynthParams, vp, axis: str,
+    with_bulges: bool, with_conf_flows: bool,
+):
     from jax import shard_map
 
     from videomorphing_tpu.synth.paths import bulge_field
+    from videomorphing_tpu.video.occlusion import occlusion_confidence
 
-    n_dev = mesh.shape[axis]
-    t_len = clip_a.shape[0]
-    args = (clip_a, clip_b, fields, times.astype(fields.dtype), conf_a, conf_b)
-    args = tuple(_pad_to_multiple(x, n_dev)[0] for x in args)
-
-    def local(a, b, v, ts, ca, cb):
+    def local(a, b, v, ts, bl_in, af, ab, bf, bb):
         def one(xs):
-            a_, b_, v_, t_, ca_, cb_ = xs
-            bl_ = (
-                bulge_field(v_, sp)
-                if sp.quadratic_paths
-                else jnp.zeros_like(v_)
-            )
+            a_, b_, v_, t_, bl_, af_, ab_, bf_, bb_ = xs
+            if not with_bulges:
+                bl_ = (
+                    bulge_field(v_, sp) if sp.quadratic_paths else jnp.zeros_like(v_)
+                )
+            if with_conf_flows:
+                ca_ = occlusion_confidence(af_, ab_, vp)
+                cb_ = occlusion_confidence(bf_, bb_, vp)
+            else:
+                ca_ = cb_ = jnp.ones(a_.shape[:2], a_.dtype)
             return bl_, render_frame(a_, b_, v_, bl_, t_, sp, conf0=ca_, conf1=cb_)
 
-        return jax.lax.map(one, (a, b, v, ts, ca, cb))
+        return jax.lax.map(one, (a, b, v, ts, bl_in, af, ab, bf, bb))
 
-    run = jax.jit(
+    return jax.jit(
         shard_map(
             local, mesh=mesh,
             in_specs=P(axis), out_specs=P(axis), check_vma=False,
         )
     )
-    bulges, frames = run(*args)
-    return bulges[:t_len], frames[:t_len]
+
+
+def render_video_frames_sharded(
+    clip_a: jnp.ndarray,
+    clip_b: jnp.ndarray,
+    fields: jnp.ndarray,
+    times: jnp.ndarray,
+    mesh: Mesh,
+    sp: SynthParams = SynthParams(),
+    vp=None,
+    axis: str = "batch",
+    bulges: Optional[jnp.ndarray] = None,
+    conf_flows: Optional[tuple] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Video synthesis sharded across the mesh: frame t of the morph needs
+    only (A_t, B_t, v_t, t_t) and frame-local flow pairs, so the whole
+    synthesis half of config 4 is embarrassingly parallel across frames
+    (SURVEY.md section 3 "Frame data-parallelism") — unlike
+    :func:`render_clip_sharded`, every frame here has its OWN sources, so
+    all inputs shard on the T axis.
+
+    ``bulges``: caller-supplied (T, H, W, 2) quadratic-path bulges (e.g. a
+    checkpoint re-render) are honored exactly like the sequential path;
+    when absent they are computed per frame INSIDE the program. Occlusion
+    confidences likewise compute in-program from ``conf_flows`` — a tuple
+    of four (T, H, W, 2) per-frame flow stacks ``(af, ab, bf, bb)``
+    (see ``video.pipeline.render_video`` for their construction) — so the
+    entire synthesis phase is ONE sharded dispatch with no serial
+    full-clip pass between the sharded solve and the sharded render.
+    T pads to a multiple of the axis size (repeat-last, trimmed after).
+    Returns ``(bulges, frames)``.
+
+    ``shard_map`` + per-device ``lax.map``, NOT vmap — ``render_frame``
+    carries ``lax.cond`` fast-path dispatch (ARCHITECTURE.md landmine).
+    """
+    n_dev = mesh.shape[axis]
+    t_len = clip_a.shape[0]
+    zf = jnp.zeros(clip_a.shape[:3] + (2,), fields.dtype)
+    bl_in = bulges if bulges is not None else jnp.zeros_like(fields)
+    af, ab, bf, bb = conf_flows if conf_flows is not None else (zf, zf, zf, zf)
+    args = (
+        clip_a, clip_b, fields, times.astype(fields.dtype), bl_in, af, ab, bf, bb,
+    )
+    args = tuple(_pad_to_multiple(x, n_dev)[0] for x in args)
+
+    run = _jitted_video_render_sharded(
+        mesh, sp, vp, axis, bulges is not None, conf_flows is not None
+    )
+    out_bulges, frames = run(*args)
+    return out_bulges[:t_len], frames[:t_len]
 
 
 def optimize_pairs_batched(

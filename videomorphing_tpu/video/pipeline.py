@@ -357,28 +357,42 @@ def render_video(
     if render:
         if times is None:
             times = jnp.linspace(0.0, 1.0, t_len, dtype=clip_a.dtype)
-        if sp.occlusion_weighting and t_len > 1:
-            if flows is None:
-                flows_fn = _jitted_clip_flows(vp)
-                fa_fwd, fa_bwd = flows_fn(clip_a)
-                fb_fwd, fb_bwd = flows_fn(clip_b)
-                flows = dict(fa_fwd=fa_fwd, fa_bwd=fa_bwd, fb_fwd=fb_fwd, fb_bwd=fb_bwd)
-            conf_a = _clip_confidences(flows["fa_fwd"], flows["fa_bwd"], t_len, vp)
-            conf_b = _clip_confidences(flows["fb_fwd"], flows["fb_bwd"], t_len, vp)
-        else:
-            conf_a = jnp.ones(clip_a.shape[:3], clip_a.dtype)
-            conf_b = conf_a
+        need_occl = sp.occlusion_weighting and t_len > 1
+        if need_occl and flows is None:
+            flows_fn = _jitted_clip_flows(vp)
+            fa_fwd, fa_bwd = flows_fn(clip_a)
+            fb_fwd, fb_bwd = flows_fn(clip_b)
+            flows = dict(fa_fwd=fa_fwd, fa_bwd=fa_bwd, fb_fwd=fb_fwd, fb_bwd=fb_bwd)
 
         if use_sharded:
             from videomorphing_tpu.parallel.frames import render_video_frames_sharded
 
+            # per-frame occlusion-flow inputs, computed IN the sharded
+            # program (no serial full-clip confidence pass between the
+            # sharded solve and the sharded render): frame t uses
+            # (fwd_t, bwd_t); the last frame reuses the final pair's
+            # reverse direction — same convention as _jitted_confidences
+            conf_flows = None
+            if need_occl:
+                conf_flows = (
+                    jnp.concatenate([flows["fa_fwd"], flows["fa_bwd"][-1:]], 0),
+                    jnp.concatenate([flows["fa_bwd"], flows["fa_fwd"][-1:]], 0),
+                    jnp.concatenate([flows["fb_fwd"], flows["fb_bwd"][-1:]], 0),
+                    jnp.concatenate([flows["fb_bwd"], flows["fb_fwd"][-1:]], 0),
+                )
             sh_bulges, frames = render_video_frames_sharded(
-                clip_a, clip_b, fields, times, conf_a, conf_b,
-                mesh, sp, mesh_axis,
+                clip_a, clip_b, fields, times, mesh, sp, vp, mesh_axis,
+                bulges=bulges, conf_flows=conf_flows,
             )
             if bulges is None and sp.quadratic_paths:
                 bulges = sh_bulges
         else:
+            if need_occl:
+                conf_a = _clip_confidences(flows["fa_fwd"], flows["fa_bwd"], t_len, vp)
+                conf_b = _clip_confidences(flows["fb_fwd"], flows["fb_bwd"], t_len, vp)
+            else:
+                conf_a = jnp.ones(clip_a.shape[:3], clip_a.dtype)
+                conf_b = conf_a
             bl_arg = bulges if bulges is not None else jnp.zeros_like(fields)
             frames = _jitted_video_render(sp)(
                 clip_a, clip_b, fields, bl_arg, times, conf_a, conf_b
