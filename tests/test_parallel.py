@@ -146,3 +146,32 @@ class TestFrameDP:
         # each pair should find vx ~ +1 halfway shift in the interior
         center = np.asarray(v)[:, 12:20, 12:20, 1]
         assert abs(center.mean() - 1.0) < 0.5
+
+
+@pytest.mark.slow
+def test_spatial_solver_with_split_pack():
+    """Spatial (halo-sharded) solve composed with the split-pack Pallas
+    path (warp_into_pack): must trace, run, and agree with the
+    single-device split-pack solve — insurance for flipping the
+    warp_into_pack default after the on-chip A/B."""
+    from videomorphing_tpu.parallel.mesh import make_mesh
+    from videomorphing_tpu.parallel.spatial import make_spatial_level_solver
+    from videomorphing_tpu.pallas.warp import packed_plane_geometry
+    from videomorphing_tpu.solver.descent import make_level_solver
+    from videomorphing_tpu.solver.energy import make_level_data
+
+    h, w = 128, 512  # big enough that the packed geometry engages
+    mp = MorphParams(backend="pallas", warp_into_pack=True)
+    assert packed_plane_geometry(mp, h, w) is not None
+
+    rng = np.random.default_rng(0)
+    i0 = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    i1 = jnp.roll(i0, 2, axis=1)
+    v0 = jnp.zeros((h, w, 2), jnp.float32)
+    data = make_level_data(i0, i1)
+
+    v_ref, st_ref = jax.jit(make_level_solver(mp, 4))(v0, data)
+    mesh = make_mesh((2,), ("y",))
+    v_sp, st_sp = make_spatial_level_solver(mp, 4, mesh=mesh, axis="y")(v0, data)
+    np.testing.assert_allclose(np.asarray(v_sp), np.asarray(v_ref), atol=1e-4)
+    assert abs(float(st_sp.e_final) - float(st_ref.e_final)) < 1e-4
