@@ -66,3 +66,39 @@ class TestExactConfig:
         )
         assert d.mean() < 0.05, d.mean()
         assert np.percentile(d, 99) < 0.25, np.percentile(d, 99)
+
+    @pytest.mark.slow
+    def test_fast_video_tracks_exact_video(self):
+        """End-to-end VIDEO pin: the fast defaults (half-res flow +
+        advection, warm caps, multiscale inversion) must land on ~the same
+        morph frames as the exact configuration on a small moving clip —
+        the video analogue of the pair oracle tests above, guarding the
+        ACCUMULATED divergence of every accepted video knob at once."""
+        import jax.numpy as jnp
+
+        from videomorphing_tpu.config import VideoParams
+        from videomorphing_tpu.ops.resample import grid_coords
+        from videomorphing_tpu.video.pipeline import morph_video
+
+        t_len, h, w = 4, 64, 64
+        g = grid_coords(h, w)
+
+        def blob(cy, cx):
+            d2 = (g[..., 0] - cy) ** 2 + (g[..., 1] - cx) ** 2
+            m = jnp.exp(-0.5 * d2 / 6.0**2)
+            return jnp.stack([m, 0.8 * m, 0.6 * m], -1)
+
+        clip_a = jnp.stack([blob(32, 20 + 2 * k) for k in range(t_len)])
+        clip_b = jnp.stack([blob(32, 28 + 2 * k) for k in range(t_len)])
+
+        mp_x, sp_x, vp_x = exact_configs()
+        mp_x = dataclasses.replace(mp_x, n_levels=3)
+        fast = morph_video(
+            clip_a, clip_b,
+            mp=MorphParams(n_levels=3), sp=SynthParams(), vp=VideoParams(),
+        )
+        exact = morph_video(clip_a, clip_b, mp=mp_x, sp=sp_x, vp=vp_x)
+
+        d = np.abs(np.asarray(fast.frames) - np.asarray(exact.frames))
+        assert d.mean() < 2e-3, d.mean()
+        assert np.percentile(d, 99) < 2e-2, np.percentile(d, 99)
