@@ -244,6 +244,17 @@ def cmd_video(args) -> int:
                 clip=[h, w],
             )
 
+    # frames shard across devices for every branch below (synthesis is
+    # embarrassingly parallel; the solve branch additionally blocks the
+    # temporal scan across the mesh)
+    import jax as _jax
+
+    mesh = None
+    if len(_jax.devices()) > 1 and t_len > 1:
+        from videomorphing_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
     t0 = time.perf_counter()
     with trace_to(args.trace), m.phase("video"):
         if done_n == t_len:
@@ -255,6 +266,7 @@ def cmd_video(args) -> int:
                 api._dev(clip_a), api._dev(clip_b), api._dev(v_all),
                 sp=sp, vp=vp,
                 bulges=api._dev(b_all) if sp.quadratic_paths else None,
+                mesh=mesh,
             )
             m.emit("resume", skipped_frames=t_len)
         elif done_n > 0:
@@ -269,18 +281,13 @@ def cmd_video(args) -> int:
                 done_n, api._pts(points), mp, vp,
             )
             fields = jnp.concatenate([api._dev(v_all[:done_n]), vs], axis=0)
-            res = render_video(api._dev(clip_a), api._dev(clip_b), fields, sp=sp, vp=vp)
+            res = render_video(
+                api._dev(clip_a), api._dev(clip_b), fields, sp=sp, vp=vp, mesh=mesh,
+            )
             m.emit("resume", skipped_frames=done_n)
         else:
-            import jax
-
-            mesh = None
-            if len(jax.devices()) > 1 and t_len > 1:
-                # frame blocks across devices (config 4); clips that don't
-                # divide evenly are padded inside solve_clip_fields
-                from videomorphing_tpu.parallel.mesh import make_mesh
-
-                mesh = make_mesh()
+            # frame blocks across devices (config 4); clips that don't
+            # divide evenly are padded inside solve_clip_fields
             res = api.morph_clips(clip_a, clip_b, points, mp=mp, sp=sp, vp=vp, mesh=mesh)
         res.frames.block_until_ready()
     dt = time.perf_counter() - t0
