@@ -381,3 +381,37 @@ class TestWarmLevels:
             errs[n] = abs(float(reg.mean()) - u)
         assert errs[3] < 2.5, errs
         assert errs[3] < 0.65 * errs[2], errs
+
+
+class TestAdvectResidualUnits:
+    def test_reduced_scale_confidence_matches_fullres_semantics(self):
+        """advect_residual is documented in FULL-res pixels; the reduced-
+        resolution inversion (advect_scale=0.5, engages at >=128 px)
+        measures its residual in low-res pixels, so the threshold must be
+        converted — the unconverted form was ~2x too permissive (round-2
+        review). Pin: half-res confidence agrees with full-res semantics,
+        and the old (unconverted) semantics is measurably more permissive."""
+        from videomorphing_tpu.ops.windows import gaussian_kernel_1d, separable_filter
+        from videomorphing_tpu.video.temporal import advect_halfway_field
+
+        h = w = 128
+        xx = jnp.arange(w)[None, :] * jnp.ones((h, 1))
+        # colliding flow (left half +6 px, right half -6, smoothed): the
+        # inversion residual lands in the sensitive band near the fold
+        step = jnp.where(xx < w // 2, 6.0, -6.0).astype(jnp.float32)
+        k = gaussian_kernel_1d(9, 2.0, jnp.float32)
+        step = separable_filter(step[..., None], k)[..., 0]
+        fa = jnp.stack([jnp.zeros_like(step), step], -1)
+        v = jnp.zeros((h, w, 2), jnp.float32) + 0.5
+
+        _, conf_full = advect_halfway_field(v, fa, fa, VideoParams(advect_scale=1.0))
+        _, conf_half = advect_halfway_field(v, fa, fa, VideoParams(advect_scale=0.5))
+        # the OLD unconverted semantics == half-res with the residual doubled
+        _, conf_old = advect_halfway_field(
+            v, fa, fa, VideoParams(advect_scale=0.5, advect_residual=1.5)
+        )
+        mf = float(conf_full.mean())
+        mh = float(conf_half.mean())
+        mo = float(conf_old.mean())
+        assert mo - mf > 0.005, (mo, mf)          # old form: more permissive
+        assert abs(mh - mf) < 0.5 * (mo - mf), (mh, mf, mo)  # fixed: agrees

@@ -18,7 +18,7 @@ tests/test_parallel.py on the 8-virtual-device CPU mesh.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,15 @@ from videomorphing_tpu.ops.resample import bilinear_sample_with_grad
 from videomorphing_tpu.ops.ssim import _dssim_grad_impl
 from videomorphing_tpu.ops.windows import gaussian_kernel_1d, separable_filter
 from videomorphing_tpu.parallel.halo import halo_exchange_rows
-from videomorphing_tpu.solver.descent import LevelStats, _tps_grad_unnormalized
+# the TPS self-adjoint stencils are SHARED with the single-device solver
+# (one definition — the sharded and local gradients cannot drift apart)
+from videomorphing_tpu.solver.descent import (
+    LevelStats,
+    _tps_grad_unnormalized,
+    tps_adj_xx as _adj_xx,
+    tps_adj_xy as _adj_xy,
+    tps_adj_yy as _adj_yy,
+)
 from videomorphing_tpu.solver.energy import LevelData
 
 
@@ -104,8 +112,12 @@ def make_spatial_level_solver(
             parity = (ys_in + xs_in) % 2
         elif p.n_colors == 4:
             parity = (ys_in % 2) * 2 + (xs_in % 2)
-        else:
+        elif p.n_colors == 1:
             parity = jnp.zeros_like(ys_in)
+        else:
+            # match descent.color_mask: fail loudly, don't silently produce
+            # a solver whose step mask is zero on most iterations
+            raise ValueError(f"n_colors must be 1, 2 or 4, got {p.n_colors}")
         bmask = jnp.ones((bh, w, 2), dtype)
         bmask = bmask.at[..., 0].set(
             jnp.where((ys_in == 0) | (ys_in == h_glob - 1), 0.0, 1.0)
@@ -311,7 +323,7 @@ def optimize_pair_spatial(
     i1: jnp.ndarray,
     points=None,
     params: MorphParams = MorphParams(),
-    mesh: Mesh = None,
+    mesh: Optional[Mesh] = None,
     axis: str = "y",
     min_rows_per_device: int = 8,
 ):
@@ -339,6 +351,13 @@ def optimize_pair_spatial(
     )
     from videomorphing_tpu.solver.energy import make_level_data
 
+    if mesh is None:
+        # the advertised default used to crash on mesh.shape; default to
+        # all devices on the row axis (1 device -> every level replicates)
+        from videomorphing_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_names=(axis,))
+
     h, w = i0.shape[0], i0.shape[1]
     dtype = i0.dtype
     n_levels = params.n_levels or auto_n_levels(h, w, params.min_level_size)
@@ -358,7 +377,16 @@ def optimize_pair_spatial(
         ui_w, ui_v = rasterize_point_constraints(lpts, (lh, lw), params.ui_sigma, dtype)
         data = make_level_data(pyr0[level], pyr1[level], ui_w, ui_v)
         n_iters = params.iters_for_level(level, n_levels)
-        sharded = n_dev > 1 and lh % n_dev == 0 and lh // n_dev >= min_rows_per_device
+        # the sharded solver needs every block to supply its neighbor's
+        # halo rows (halo = SSIM transpose-conv reach + TPS stencil reach,
+        # make_spatial_level_solver) — a block shorter than the halo can't,
+        # so such levels run replicated like the other small levels
+        halo = 2 * (params.ssim_window // 2) + 2
+        sharded = (
+            n_dev > 1
+            and lh % n_dev == 0
+            and lh // n_dev >= max(min_rows_per_device, halo)
+        )
         if sharded:
             solve = _cached_spatial_solver(params, n_iters, mesh, axis)
         else:
@@ -373,26 +401,3 @@ def optimize_pair_spatial(
     return OptimizeResult(v=v, level_stats=tuple(stats), n_levels=n_levels)
 
 
-def _adj_xx(a):
-    out = jnp.zeros_like(a)
-    out = out.at[:, 1:].add(a[:, :-1])
-    out = out.at[:, :].add(-2.0 * a)
-    out = out.at[:, :-1].add(a[:, 1:])
-    return out
-
-
-def _adj_yy(a):
-    out = jnp.zeros_like(a)
-    out = out.at[1:, :].add(a[:-1, :])
-    out = out.at[:, :].add(-2.0 * a)
-    out = out.at[:-1, :].add(a[1:, :])
-    return out
-
-
-def _adj_xy(a):
-    out = jnp.zeros_like(a)
-    out = out.at[1:, 1:].add(0.25 * a[:-1, :-1])
-    out = out.at[1:, :-1].add(-0.25 * a[:-1, 1:])
-    out = out.at[:-1, 1:].add(-0.25 * a[1:, :-1])
-    out = out.at[:-1, :-1].add(0.25 * a[1:, 1:])
-    return out

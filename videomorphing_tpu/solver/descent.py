@@ -22,7 +22,6 @@ HBM-residency requirement of BASELINE.json's north star.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -32,7 +31,7 @@ from videomorphing_tpu.config import MorphParams
 from videomorphing_tpu.ops.resample import bilinear_sample_with_grad, grid_coords
 from videomorphing_tpu.ops.ssim import dssim_grad_bundle
 from videomorphing_tpu.ops.windows import gaussian_kernel_1d, separable_filter
-from videomorphing_tpu.solver.energy import LevelData, total_energy
+from videomorphing_tpu.solver.energy import LevelData
 
 
 class LevelStats(NamedTuple):
@@ -266,35 +265,40 @@ def value_grad_precond_planes(
     return energy, grad, precond
 
 
+def tps_adj_xx(a):
+    """Self-adjoint second-difference stencil in x (shared with the
+    row-sharded solver — parallel/spatial.py imports these three so the
+    sharded and single-device TPS gradients can never drift apart)."""
+    out = jnp.zeros_like(a)
+    out = out.at[:, 1:].add(a[:, :-1])
+    out = out.at[:, :].add(-2.0 * a)
+    out = out.at[:, :-1].add(a[:, 1:])
+    return out
+
+
+def tps_adj_yy(a):
+    out = jnp.zeros_like(a)
+    out = out.at[1:, :].add(a[:-1, :])
+    out = out.at[:, :].add(-2.0 * a)
+    out = out.at[:-1, :].add(a[1:, :])
+    return out
+
+
+def tps_adj_xy(a):
+    out = jnp.zeros_like(a)
+    out = out.at[1:, 1:].add(0.25 * a[:-1, :-1])
+    out = out.at[1:, :-1].add(-0.25 * a[:-1, 1:])
+    out = out.at[:-1, 1:].add(-0.25 * a[1:, :-1])
+    out = out.at[:-1, :-1].add(0.25 * a[1:, 1:])
+    return out
+
+
 def _tps_grad_unnormalized(v: jnp.ndarray) -> jnp.ndarray:
     """d/dv of sum_p (|vxx|^2 + 2|vxy|^2 + |vyy|^2) — self-adjoint stencils."""
     from videomorphing_tpu.solver.energy import tps_maps
 
     vxx, vxy, vyy = tps_maps(v)
-
-    def adj_xx(a):
-        out = jnp.zeros_like(a)
-        out = out.at[:, 1:].add(a[:, :-1])
-        out = out.at[:, :].add(-2.0 * a)
-        out = out.at[:, :-1].add(a[:, 1:])
-        return out
-
-    def adj_yy(a):
-        out = jnp.zeros_like(a)
-        out = out.at[1:, :].add(a[:-1, :])
-        out = out.at[:, :].add(-2.0 * a)
-        out = out.at[:-1, :].add(a[1:, :])
-        return out
-
-    def adj_xy(a):
-        out = jnp.zeros_like(a)
-        out = out.at[1:, 1:].add(0.25 * a[:-1, :-1])
-        out = out.at[1:, :-1].add(-0.25 * a[:-1, 1:])
-        out = out.at[:-1, 1:].add(-0.25 * a[1:, :-1])
-        out = out.at[:-1, :-1].add(0.25 * a[1:, 1:])
-        return out
-
-    return 2.0 * adj_xx(vxx) + 4.0 * adj_xy(vxy) + 2.0 * adj_yy(vyy)
+    return 2.0 * tps_adj_xx(vxx) + 4.0 * tps_adj_xy(vxy) + 2.0 * tps_adj_yy(vyy)
 
 
 def _resolve_backend(p: MorphParams, h: int, w: int) -> bool:

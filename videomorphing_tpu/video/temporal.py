@@ -26,14 +26,7 @@ import numpy as np
 from videomorphing_tpu.config import VideoParams
 from videomorphing_tpu.ops.poisson import pull_push_extend
 from videomorphing_tpu.ops.resample import bilinear_sample, grid_coords
-
-
-def _resize_field(v: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
-    """Resize a displacement field, rescaling vector magnitudes to the new
-    grid's pixel units (same semantics as solver.ctf.resample_field)."""
-    h0, w0 = v.shape[0], v.shape[1]
-    out = jax.image.resize(v, (hw[0], hw[1], 2), method="bilinear")
-    return out * jnp.asarray([hw[0] / h0, hw[1] / w0], dtype=v.dtype)
+from videomorphing_tpu.solver.ctf import resample_field as _resize_field
 
 
 def bilinear_splat(
@@ -112,7 +105,15 @@ def advect_halfway_field(
         v_h = _resize_field(v_prev, (hh, ww))
         fa_h = _resize_field(flow_a, (hh, ww))
         fb_h = _resize_field(flow_b, (hh, ww))
-        vp_full = dataclasses.replace(vp, advect_scale=1.0)
+        # advect_residual is documented in FULL-resolution pixels; the
+        # recursive call measures its fixed-point residual in reduced-res
+        # pixels, so convert the threshold (r full px = r*scale low px) —
+        # without this the confidence was ~2x too permissive at the
+        # default advect_scale=0.5, anchoring E_TC to invalid predictions
+        # exactly where it promises to back off
+        vp_full = dataclasses.replace(
+            vp, advect_scale=1.0, advect_residual=vp.advect_residual * (hh / h)
+        )
         tc_h, conf_h = advect_halfway_field(v_h, fa_h, fb_h, vp_full)
         tc_v = _resize_field(tc_h, (h, w))
         conf = jax.image.resize(conf_h, (h, w, 1), method="bilinear")
