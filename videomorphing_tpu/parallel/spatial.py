@@ -224,17 +224,18 @@ def make_spatial_level_solver(
         hist0 = jnp.full((n_iters,), jnp.nan, dtype)
 
         def cond(st):
-            _v, _wb, step_, _e, stall_, it_, _h = st
+            _v, step_, _e, stall_, it_, _h = st
             return (it_ < n_iters) & (stall_ <= p.n_colors) & (step_ > p.min_step)
 
-        def body(st):
-            v_, wb_, step_, e_prev, stall_, it_, hist = st
+        # Two-level loop, same structure and rationale as descent.py: the
+        # OUTER body re-warps once per block of ``relin`` iterations and
+        # the INNER loop closes over the bundle. Carrying the extended-
+        # block warp planes through a per-iteration lax.cond made XLA copy
+        # the whole stack every iteration — the exact pattern descent
+        # traced at ~2.4 ms/iter at 1080p and removed.
+        def body_iter(wb_, st):
+            v_, step_, e_prev, stall_, it_, hist = st
             v_ext = exchange(v_)
-            wb_ = jax.lax.cond(
-                (it_ % relin == 0) & (it_ > 0),
-                lambda: rewarp(v_ext),
-                lambda: wb_,
-            )
             e_cur, grad, precond = value_grad_precond(wb_, v_ext)
 
             cmask = (parity == (it_ % p.n_colors)).astype(dtype)[..., None]
@@ -271,13 +272,26 @@ def make_spatial_level_solver(
             rel = (e_cur - e_new) / jnp.maximum(jnp.abs(e_cur), 1e-12)
             stall_new = jnp.where(rel < p.tol, stall_ + 1, 0)
             hist = hist.at[it_].set(e_new)
-            return v_new, wb_, step_new, e_new, stall_new, it_ + 1, hist
+            return v_new, step_new, e_new, stall_new, it_ + 1, hist
+
+        def outer_body(st):
+            it0 = st[4]
+            wb_ = jax.lax.cond(
+                it0 > 0, lambda: rewarp(exchange(st[0])), lambda: wb0
+            )
+
+            def inner_cond(s):
+                return cond(s) & (s[4] < it0 + relin)
+
+            return jax.lax.while_loop(inner_cond, lambda s: body_iter(wb_, s), st)
 
         st0 = (
-            v_blk, wb0, jnp.asarray(p.init_step, dtype), e0,
+            v_blk, jnp.asarray(p.init_step, dtype), e0,
             jnp.int32(0), jnp.int32(0), hist0,
         )
-        v_f, _wb, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(cond, body, st0)
+        v_f, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(
+            cond, outer_body, st0
+        )
         stats = LevelStats(e0=e0, e_final=e_f, iters=it_f, step=step_f, energy_history=hist_f)
         return v_f, stats
 
