@@ -423,10 +423,16 @@ class TestSplitPack:
             scale * np.stack([1.5 * np.sin(yy / 40), 2 * np.cos(xx / 50)], -1)
         )
 
-    @pytest.mark.parametrize("kind", ["smooth", "wild"])
+    @pytest.mark.parametrize("kind", ["smooth", "wild", "offedge"])
     def test_packed_warp_planes_match_combined_pack(self, kind):
         """x_warp == combined pack's first 6C planes (kernel AND fallback
-        bands), zeros in the extra tail rows."""
+        bands), zeros in the extra tail rows.
+
+        ``offedge``: content displaced ~60 px past the top edge passes the
+        residual budget yet used to land a NEGATIVE DMA row offset in the
+        packed layout (row_start = -8 — the packed top halo breaks the
+        OFFY margin proof's row_in = 0 assumption); such bands must route
+        to the XLA fallback (round-2 review finding)."""
         from videomorphing_tpu.pallas.sweep import make_sweep_pack_planes
         from videomorphing_tpu.pallas.warp import (
             fused_warp_planes,
@@ -439,6 +445,8 @@ class TestSplitPack:
         v, data = _case(h, w, seed=7)
         if kind == "smooth":
             v = self._smooth_v(h, w)
+        elif kind == "offedge":
+            v = jnp.zeros((h, w, 2), jnp.float32).at[..., 0].set(60.5)
         else:
             v = 30.0 * v  # busts the residual budget -> XLA fallback bands
         p = MorphParams()
@@ -519,7 +527,13 @@ class TestSplitPack:
     def test_level_solver_split_matches_combined(self):
         """Identical solve trajectory with warp_into_pack on and off."""
         rng = np.random.default_rng(13)
-        h, w = 64, 130  # smallest geometry the packed layout supports
+        # w >= 249 so gx > 1 and the packed geometry actually ENGAGES —
+        # at the old (64, 130) packed_plane_geometry returned None and this
+        # test compared the combined path against itself (round-2 review)
+        h, w = 64, 260
+        from videomorphing_tpu.pallas.warp import packed_plane_geometry
+
+        assert packed_plane_geometry(MorphParams(), h, w) is not None
         base = rng.random((h + 8, w + 8, 3), dtype=np.float32)
         for _ in range(3):
             base = 0.25 * (

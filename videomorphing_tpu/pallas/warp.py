@@ -42,6 +42,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from videomorphing_tpu.pallas.sweep import _auto_interpret, _cdiv
 from videomorphing_tpu.ops.resample import bilinear_sample_with_grad, grid_coords
 
 TH, TW = 64, 256         # output tile
@@ -61,10 +62,6 @@ N_PHASE = 8
 # in range: by_al >= 8*floor((-MY-(D-1))/8) = -64 = -OFFY, and
 # bx_al >= 128*floor((-MX-(DX_SAMPLE-1))/128) = -256 = -OFFX.
 MY, MX = 56, 128
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
 
 
 class WarpSource(NamedTuple):
@@ -188,6 +185,16 @@ def _prep_image(
     # and the true start is by_al + k, so the aligned DMA offset is
     row_start = by_al + OFFY
     col_start = bx_al + OFFX
+    # the OFFY/OFFX margin proof (module constants) assumes every tile has
+    # a valid sample at row_in/col_in 0; PACKED layouts break that — their
+    # top halo rows are invalid, so the first valid row is row_in = halo
+    # and ``by_al`` can undershoot -OFFY (verified: top-edge content
+    # displaced ~60 px up passes the dev budget yet lands row_start = -8,
+    # an out-of-bounds DMA). Gate the fast path on in-range offsets; the
+    # rare offending band takes the per-band XLA fallback instead.
+    fits = (
+        fits & (jnp.min(row_start) >= 0) & (jnp.min(col_start) >= 0)
+    )
     return (
         dev, devx, pad_to(fy, 0.0), pad_to(fx, 0.0),
         pad_to(oky, 0.0), pad_to(okx, 0.0),
@@ -303,7 +310,6 @@ DX_SAMPLE = 8
 def _build_sample_call(
     c_blk: int, nc: int, n_imgs: int, gy: int, gx: int, interpret: bool
 ):
-    th, tw = TH_S, TW_S
     """Values-only variant of :func:`_build_warp_call` for ARBITRARY smooth
     coordinate maps (no interpolant derivatives): the renderer's backward
     warps sample ``I(phi(q))`` where ``phi`` is not the halfway form
@@ -311,6 +317,7 @@ def _build_sample_call(
     ``c_blk`` (keeps scoped VMEM flat in C — a monolithic C=4 variant blew
     the 16 MB scoped-vmem limit), and the lane-residual budget is
     ``DX_SAMPLE`` instead of ``DX``."""
+    th, tw = TH_S, TW_S
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -703,12 +710,6 @@ def fused_sample(srcs, coords, *, interpret=None):
         jnp.concatenate([b[im] for b in band_outs], axis=0)
         for im in range(n_imgs)
     ]
-
-
-def _auto_interpret(interpret):
-    if interpret is not None:
-        return bool(interpret)
-    return jax.default_backend() != "tpu"
 
 
 def fused_warp_pair(src0, src1, v, *, interpret=None):
