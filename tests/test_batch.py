@@ -191,3 +191,33 @@ class TestBatchCli:
         )
         assert rc == 0
         assert read_vmc_header(out) == (t_len, h, w, 3)
+
+
+def test_stream_blocks_larger_than_mesh_rechunk(rng, tmp_path, fast_params):
+    """Reader block size > mesh block size used to crash in _pad_block
+    (negative np.repeat); the runner now re-chunks the stream (round-2
+    review). 6-frame clips read in blocks of 8 over a 4-device mesh."""
+    from videomorphing_tpu import api
+    from videomorphing_tpu.io.clips import open_clip_reader, write_vmc
+    from videomorphing_tpu.parallel.batch import StreamingBatchRunner
+    from videomorphing_tpu.parallel.mesh import make_mesh
+
+    mp, sp = fast_params
+    mesh = make_mesh((4,), ("batch",))
+    t_len, h, w = 6, 40, 48
+    clip_a = np.stack([_pair(rng, h, w, shift=1 + 0.2 * k)[0] for k in range(t_len)])
+    clip_b = np.stack([_pair(rng, h, w, shift=1 + 0.2 * k)[1] for k in range(t_len)])
+    pa, pb = str(tmp_path / "a.vmc"), str(tmp_path / "b.vmc")
+    write_vmc(pa, clip_a)
+    write_vmc(pb, clip_b)
+
+    runner = StreamingBatchRunner(mesh, mp, sp)
+    got = {}
+    for s, frames in runner.run_clip_pair(
+        open_clip_reader(pa, block=8), open_clip_reader(pb, block=8),
+        t_len, (h, w),
+    ):
+        got[s] = frames
+    out = np.concatenate([got[s] for s in sorted(got)], axis=0)
+    assert out.shape == (t_len, h, w, 3)
+    assert np.isfinite(out).all()

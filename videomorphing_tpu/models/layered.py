@@ -111,7 +111,10 @@ def _warp_layer(
     """
     h, w = i0.shape[0], i0.shape[1]
     t = jnp.asarray(t, v.dtype)
-    p = invert_path(v, b, t, sp.invert_iters, multiscale=sp.invert_multiscale)
+    p = invert_path(
+        v, b, t, sp.invert_iters, multiscale=sp.invert_multiscale,
+        use_fused=sp.fused_sampling,  # honor the documented escape hatch
+    )
     v_at_p = bilinear_sample(v, p)
     phi0 = p - v_at_p
     phi1 = p + v_at_p

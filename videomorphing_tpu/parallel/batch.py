@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from videomorphing_tpu.config import MorphParams, SynthParams
 from videomorphing_tpu.ops.pyramid import (
     auto_n_levels,
-    downsample_2x,
+    gaussian_pyramid,
     pyramid_shapes,
     upsample_field_2x,
 )
@@ -52,6 +52,18 @@ from videomorphing_tpu.synth.paths import bulge_field
 from videomorphing_tpu.synth.render import render_frame
 
 
+def _hoisted_warp_sources(i0, i1, sp: SynthParams):
+    """Build the fused sampler's 8-phase source copies ONCE per pair, not
+    once per rendered frame (same hoist as synth.render.render_clip and
+    parallel.frames — rebuilding them costs ~700 MB of pad-writes per
+    1080p frame)."""
+    if sp.fused_sampling and sp.sampling != "bicubic" and jax.default_backend() == "tpu":
+        from videomorphing_tpu.pallas.warp import make_warp_source
+
+        return make_warp_source(i0), make_warp_source(i1)
+    return None, None
+
+
 def _solve_one(i0, i1, points, mp: MorphParams, shapes) -> jnp.ndarray:
     """Traceable full coarse-to-fine solve for ONE pair (no inner jits).
 
@@ -63,10 +75,8 @@ def _solve_one(i0, i1, points, mp: MorphParams, shapes) -> jnp.ndarray:
     dtype = i0.dtype
     n_levels = len(shapes)
 
-    pyr0, pyr1 = [i0], [i1]
-    for _ in range(n_levels - 1):
-        pyr0.append(downsample_2x(pyr0[-1]))
-        pyr1.append(downsample_2x(pyr1[-1]))
+    pyr0 = gaussian_pyramid(i0, n_levels)
+    pyr1 = gaussian_pyramid(i1, n_levels)
 
     v = jnp.zeros(shapes[-1] + (2,), dtype)
     for level in range(n_levels - 1, -1, -1):
@@ -122,9 +132,12 @@ def make_batch_step(
     def one_pair(i0, i1, pts, ts):
         v = _solve_one(i0, i1, pts, mp, shapes)
         b = bulge_field(v, sp) if sp.quadratic_paths else jnp.zeros_like(v)
+        s0, s1 = _hoisted_warp_sources(i0, i1, sp)
         # sequential over output times: keeps peak memory single-frame
         # (same reasoning as video.pipeline._jitted_video_render)
-        return jax.lax.map(lambda t: render_frame(i0, i1, v, b, t, sp), ts)
+        return jax.lax.map(
+            lambda t: render_frame(i0, i1, v, b, t, sp, srcs0=s0, srcs1=s1), ts
+        )
 
     # shard_map + per-device lax.map, NOT vmap: vmapping turns every
     # lax.cond into a both-branches select, which runs the Pallas fast
@@ -155,7 +168,10 @@ def _make_batch_step_staged(
 
     def one(i0, i1, v, t_row):
         b = bulge_field(v, sp) if sp.quadratic_paths else jnp.zeros_like(v)
-        return jax.lax.map(lambda t: render_frame(i0, i1, v, b, t, sp), t_row)
+        s0, s1 = _hoisted_warp_sources(i0, i1, sp)
+        return jax.lax.map(
+            lambda t: render_frame(i0, i1, v, b, t, sp, srcs0=s0, srcs1=s1), t_row
+        )
 
     local = lambda *arrs: jax.lax.map(lambda a: one(*a), arrs)
     synth_j = jax.jit(
@@ -175,6 +191,10 @@ def _make_batch_step_staged(
 def _pad_block(arr: np.ndarray, bsz: int) -> np.ndarray:
     """Pad the leading axis up to ``bsz`` by repeating the last element."""
     n = arr.shape[0]
+    if n > bsz:
+        # callers chunk oversized blocks; without this the np.repeat below
+        # raised an opaque 'negative dimensions' deep inside the runner
+        raise ValueError(f"block of {n} items exceeds the mesh block size {bsz}")
     if n == bsz:
         return arr
     reps = np.repeat(arr[-1:], bsz - n, axis=0)
@@ -244,23 +264,33 @@ class StreamingBatchRunner:
         pending: List[Tuple[int, int, jnp.ndarray]] = []  # (start, n, dev frames)
         for (sa, blk_a), (sb, blk_b) in zip(blocks_a, blocks_b):
             assert sa == sb, f"clip streams out of sync: {sa} != {sb}"
-            n = min(blk_a.shape[0], blk_b.shape[0])
-            i0s = _pad_block(np.ascontiguousarray(blk_a[:n], np.float32), bsz)
-            i1s = _pad_block(np.ascontiguousarray(blk_b[:n], np.float32), bsz)
-            ts = _pad_block(times[sa : sa + n, None], bsz)
-            pts = np.broadcast_to(pts_one, (bsz,) + pts_one.shape)
+            n_all = min(blk_a.shape[0], blk_b.shape[0])
+            # the stream's block size need not match the mesh block size
+            # (e.g. open_clip_reader's default 8 on a 4-device mesh):
+            # re-chunk here instead of crashing in _pad_block
+            for off in range(0, n_all, bsz):
+                s = sa + off
+                n = min(bsz, n_all - off)
+                i0s = _pad_block(
+                    np.ascontiguousarray(blk_a[off : off + n], np.float32), bsz
+                )
+                i1s = _pad_block(
+                    np.ascontiguousarray(blk_b[off : off + n], np.float32), bsz
+                )
+                ts = _pad_block(times[s : s + n, None], bsz)
+                pts = np.broadcast_to(pts_one, (bsz,) + pts_one.shape)
 
-            dev = self._put(i0s, i1s, np.ascontiguousarray(pts), ts)
-            out = step(*dev)  # async dispatch; device starts immediately
+                dev = self._put(i0s, i1s, np.ascontiguousarray(pts), ts)
+                out = step(*dev)  # async dispatch; device starts immediately
 
-            # drain the previous block while the device runs this one
-            while pending:
-                s0, n0, dev_frames = pending.pop(0)
-                host = np.asarray(dev_frames)[:n0, 0]
-                if on_block is not None:
-                    on_block(s0, host)
-                yield s0, host
-            pending.append((sa, n, out))
+                # drain the previous block while the device runs this one
+                while pending:
+                    s0, n0, dev_frames = pending.pop(0)
+                    host = np.asarray(dev_frames)[:n0, 0]
+                    if on_block is not None:
+                        on_block(s0, host)
+                    yield s0, host
+                pending.append((s, n, out))
 
         while pending:
             s0, n0, dev_frames = pending.pop(0)
@@ -297,9 +327,30 @@ def run_manifest(
     shard = NamedSharding(mesh, P(axis))
 
     results: List[np.ndarray] = []
+    pending: List[Tuple[list, float, jnp.ndarray]] = []  # (jobs, t_dispatch, dev)
+
+    def _drain():
+        blk_, t0_, out_ = pending.pop(0)
+        host = np.asarray(out_)  # waits for THIS block; the next is running
+        if verbose:
+            dt = time.perf_counter() - t0_
+            print(
+                json.dumps(
+                    {
+                        "event": "batch_block",
+                        "jobs": len(blk_),
+                        "frames": int(len(blk_) * n_out),
+                        "wall_s": round(dt, 3),
+                        "frames_per_sec": round(len(blk_) * n_out / dt, 3),
+                    }
+                )
+            )
+        for bi, j in enumerate(blk_):
+            nf = int(j.get("n_frames", n_out))
+            results.append(host[bi, :nf])
+
     for blk_start in range(0, len(jobs), bsz):
         blk = list(jobs[blk_start : blk_start + bsz])
-        n = len(blk)
         i0s = _pad_block(np.stack([np.asarray(j["i0"], np.float32) for j in blk]), bsz)
         i1s = _pad_block(np.stack([np.asarray(j["i1"], np.float32) for j in blk]), bsz)
         # pad each job's point list to max_pts with far-off-domain pairs:
@@ -319,21 +370,12 @@ def run_manifest(
 
         t0 = time.perf_counter()
         out = step(*(jax.device_put(a, shard) for a in (i0s, i1s, pts, ts)))
-        host = np.asarray(out)
-        if verbose:
-            dt = time.perf_counter() - t0
-            print(
-                json.dumps(
-                    {
-                        "event": "batch_block",
-                        "jobs": n,
-                        "frames": int(n * n_out),
-                        "wall_s": round(dt, 3),
-                        "frames_per_sec": round(n * n_out / dt, 3),
-                    }
-                )
-            )
-        for bi, j in enumerate(blk):
-            nf = int(j.get("n_frames", n_out))
-            results.append(host[bi, :nf])
+        # drain the PREVIOUS block while the device runs this one (same
+        # overlap as run_clip_pair; fetching synchronously here serialized
+        # D2H against the next block's H2D + compute)
+        while pending:
+            _drain()
+        pending.append((blk, t0, out))
+    while pending:
+        _drain()
     return results

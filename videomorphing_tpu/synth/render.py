@@ -153,7 +153,10 @@ def invert_path_with_field(
         def body(_, p_):
             return q - bilinear_sample(disp, p_)
 
-        p = jax.lax.fori_loop(0, max(n_iters - 1, 1), body, q)
+        # n_iters - 1 plain iterations + the final STACKED sample below
+        # == n_iters displacement samples total, matching invert_path
+        # exactly (max(.., 1) used to make n_iters=1 do 2)
+        p = jax.lax.fori_loop(0, max(n_iters - 1, 0), body, q)
 
     if _resolve_fused(use_fused):
         from videomorphing_tpu.pallas.warp import fused_sample

@@ -42,7 +42,11 @@ def _gray(img: jnp.ndarray, vp: VideoParams | None = None) -> jnp.ndarray:
 
         sigma = vp.flow_hp_sigma
         k = gaussian_kernel_1d(int(4 * sigma) | 1, sigma, dtype=g.dtype)
-        low = separable_filter(g[..., None], k)[..., 0]
+        # EDGE-padded blur: the zero-padded default underestimates ``low``
+        # by up to ~75% in a kernel-radius border band (a STATIC bright rim
+        # identical in both frames), which the data term then treats as a
+        # structure to pin flow to — anchoring border flow toward zero
+        low = separable_filter(g[..., None], k, mode="same_edge")[..., 0]
         g = g - low + 127.5
     return g
 
@@ -57,9 +61,15 @@ def _shifts(f):
 
 
 def _deriv(f):
-    """Central differences (dy, dx) of a (H, W) image (roll-based interior)."""
-    fy = 0.5 * (jnp.roll(f, -1, 0) - jnp.roll(f, 1, 0))
-    fx = 0.5 * (jnp.roll(f, -1, 1) - jnp.roll(f, 1, 1))
+    """Central differences (dy, dx) of a (H, W) image, EDGE-replicated.
+
+    roll-based differences wrap the first/last row/column to the opposite
+    edge, injecting a garbage data constraint at every border pixel that
+    the pyramid then propagates inward — use the replicated 4-neighborhood
+    instead (borders degrade to one-sided half-differences)."""
+    up, dn, lf, rt = _shifts(f)
+    fy = 0.5 * (dn - up)
+    fx = 0.5 * (rt - lf)
     return fy, fx
 
 
@@ -215,59 +225,25 @@ def _level_solver(vp: VideoParams):
     return _robust_level if vp.flow_robust else _hs_level
 
 
-def flow_pair(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams = VideoParams()) -> jnp.ndarray:
-    """Dense flow u with b(p + u(p)) ~ a(p); (H, W, 2) in (dy, dx).
-
-    Coarse-to-fine over a Gaussian pyramid (static level count). With
-    ``vp.flow_scale < 1`` the solve runs at reduced resolution and the
-    result is upsampled (with vectors rescaled) — the flow only warm-starts
-    and regularizes the halfway solve, so full-resolution accuracy buys
-    nothing (SURVEY.md s1.5).
-    """
+def _flow_downscale(a, b, vp: VideoParams):
+    """flow_scale prologue shared by both entry points: reduced-resolution
+    solve, result upsampled with vectors rescaled — the flow only
+    warm-starts and regularizes the halfway solve (SURVEY.md s1.5)."""
     h0, w0 = a.shape[0], a.shape[1]
     if vp.flow_scale < 1.0:
         hs = max(int(round(h0 * vp.flow_scale)), 16)
         ws = max(int(round(w0 * vp.flow_scale)), 16)
         a = jax.image.resize(a, (hs, ws) + a.shape[2:], method="linear")
         b = jax.image.resize(b, (hs, ws) + b.shape[2:], method="linear")
-        u = _flow_pair_full(a, b, vp)
-        return resample_field(u, (h0, w0))
-    return _flow_pair_full(a, b, vp)
+    return a, b, (h0, w0)
 
 
-def _flow_pair_full(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams) -> jnp.ndarray:
-    ga, gb = _gray(a, vp), _gray(b, vp)
-    h, w = ga.shape
-    n_levels = vp.flow_levels or auto_n_levels(h, w, 16)
-    shapes = pyramid_shapes(h, w, n_levels)
-    pa = gaussian_pyramid(ga[..., None], n_levels)
-    pb = gaussian_pyramid(gb[..., None], n_levels)
+def _flow_solve(a, b, vp: VideoParams, bidir: bool):
+    """Shared coarse-to-fine body: grayscale, pyramids, level loop.
 
-    solve = _level_solver(vp)
-    u = jnp.zeros(shapes[-1] + (2,), ga.dtype)
-    for level in range(n_levels - 1, -1, -1):
-        u = solve(pa[level][..., 0], pb[level][..., 0], u, vp)
-        if level > 0:
-            u = resample_field(u, shapes[level - 1])
-    return u
-
-
-def flow_pair_bidir(
-    a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams = VideoParams()
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Both flow directions of one frame pair: (a->b, b->a).
-
-    The two solves share the grayscale conversion, downsampling and the
-    Gaussian pyramids (the pyramid build is a noticeable slice of the flow
-    phase, and both directions need exactly the same pyramids).
-    """
-    h0, w0 = a.shape[0], a.shape[1]
-    if vp.flow_scale < 1.0:
-        hs = max(int(round(h0 * vp.flow_scale)), 16)
-        ws = max(int(round(w0 * vp.flow_scale)), 16)
-        a = jax.image.resize(a, (hs, ws) + a.shape[2:], method="linear")
-        b = jax.image.resize(b, (hs, ws) + b.shape[2:], method="linear")
-
+    ONE implementation for the unidirectional and bidirectional paths —
+    they previously carried drifting copies; both directions reuse the
+    same pyramids (the build is a noticeable slice of the flow phase)."""
     ga, gb = _gray(a, vp), _gray(b, vp)
     h, w = ga.shape
     n_levels = vp.flow_levels or auto_n_levels(h, w, 16)
@@ -280,12 +256,35 @@ def flow_pair_bidir(
     ub = uf
     for level in range(n_levels - 1, -1, -1):
         uf = solve(pa[level][..., 0], pb[level][..., 0], uf, vp)
-        ub = solve(pb[level][..., 0], pa[level][..., 0], ub, vp)
+        if bidir:
+            ub = solve(pb[level][..., 0], pa[level][..., 0], ub, vp)
         if level > 0:
             uf = resample_field(uf, shapes[level - 1])
-            ub = resample_field(ub, shapes[level - 1])
+            if bidir:
+                ub = resample_field(ub, shapes[level - 1])
+    return (uf, ub) if bidir else uf
 
-    if vp.flow_scale < 1.0:
+
+def flow_pair(a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams = VideoParams()) -> jnp.ndarray:
+    """Dense flow u with b(p + u(p)) ~ a(p); (H, W, 2) in (dy, dx).
+
+    Coarse-to-fine over a Gaussian pyramid (static level count). With
+    ``vp.flow_scale < 1`` the solve runs at reduced resolution and the
+    result is upsampled (with vectors rescaled).
+    """
+    a, b, (h0, w0) = _flow_downscale(a, b, vp)
+    u = _flow_solve(a, b, vp, bidir=False)
+    return u if u.shape[:2] == (h0, w0) else resample_field(u, (h0, w0))
+
+
+def flow_pair_bidir(
+    a: jnp.ndarray, b: jnp.ndarray, vp: VideoParams = VideoParams()
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both flow directions of one frame pair: (a->b, b->a), sharing the
+    grayscale conversion, downsampling and Gaussian pyramids."""
+    a, b, (h0, w0) = _flow_downscale(a, b, vp)
+    uf, ub = _flow_solve(a, b, vp, bidir=True)
+    if uf.shape[:2] != (h0, w0):
         uf = resample_field(uf, (h0, w0))
         ub = resample_field(ub, (h0, w0))
     return uf, ub
@@ -295,8 +294,9 @@ def clip_flows(clip: jnp.ndarray, vp: VideoParams = VideoParams()) -> Tuple[jnp.
     """Forward and backward flows between consecutive frames of (T, H, W, C).
 
     Returns ``(fwd, bwd)``, each (T-1, H, W, 2): ``fwd[t]`` maps frame t to
-    t+1 (sampled at t), ``bwd[t]`` maps frame t+1 back to t. Computed once up
-    front, vmapped over the T-1 pairs (SURVEY.md section 4 stack C).
+    t+1 (sampled at t), ``bwd[t]`` maps frame t+1 back to t. Computed once
+    up front, SEQUENTIALLY mapped over the T-1 pairs — see the lax.map
+    note below; do not "fix" this to vmap (SURVEY.md section 4 stack C).
     """
     a = clip[:-1]
     b = clip[1:]
