@@ -47,6 +47,7 @@ step north_star 3600 python bench.py
 # 3. A/B the two pending perf knobs on the north-star workload
 step ab_warp_into_pack 3600 env BENCH_SET=morph.warp_into_pack=true python bench.py
 step ab_bf16_pack      3600 env BENCH_SET=morph.pack_dtype=bfloat16 python bench.py
+step ab_warp_prescreen 3600 env BENCH_SET=morph.warp_prescreen=true python bench.py
 
 # 4. Quality probes for the knobs (decision data for flipping defaults)
 step probe_bf16 2400 python scripts/probe_knob.py --set morph.pack_dtype=bfloat16

@@ -51,6 +51,57 @@ class TestClipIO:
         back = load_clip(d)
         assert back.shape == frames.shape
 
+    def test_y4m_roundtrip_444(self, rng, tmp_path):
+        """C444 .y4m survives a write/read cycle to BT.601 rounding error."""
+        frames = rng.random((4, 17, 23, 3)).astype(np.float32)
+        p = str(tmp_path / "c.y4m")
+        save_clip(p, frames, fps=24)
+        from videomorphing_tpu.io.y4m import read_y4m_header
+
+        t, h, w, chroma, fps = read_y4m_header(p)
+        assert (t, h, w, chroma, fps) == (4, 17, 23, "444", (24, 1))
+        back = load_clip(p)
+        assert back.shape == frames.shape
+        # limited-range quantization: ~1/219 max step in Y, small matrix mix
+        assert np.abs(back - frames).max() < 0.02
+
+    def test_y4m_roundtrip_420(self, rng, tmp_path):
+        """C420jpeg: even dims required, chroma subsampled but luma tight."""
+        from videomorphing_tpu.io.y4m import read_y4m, write_y4m
+
+        # grayscale content: chroma is constant (128), so the 2x2 chroma
+        # subsampling is exact and the roundtrip is quantization-tight.
+        # (Random per-pixel chroma genuinely loses ~0.05 through any 4:2:0
+        # encode — box-averaged chroma leaves gamut and the RGB clamp
+        # shifts luma — so it would test the colorspace, not the codec.)
+        gray = rng.random((3, 16, 24, 1)).astype(np.float32)
+        frames = np.repeat(gray, 3, axis=-1)
+        p = str(tmp_path / "c420.y4m")
+        write_y4m(p, frames, chroma="420jpeg")
+        back = read_y4m(p)
+        assert back.shape == frames.shape
+        assert np.abs(back - frames).max() < 0.02
+        with pytest.raises(ValueError):
+            write_y4m(str(tmp_path / "odd.y4m"), frames[:, :15], chroma="420jpeg")
+
+    def test_y4m_incremental_writer_and_blocks(self, rng, tmp_path):
+        """Streaming writer == one-shot writer; block reader re-chunks."""
+        from videomorphing_tpu.io.clips import open_clip_reader
+        from videomorphing_tpu.io.y4m import Y4mWriter, read_y4m
+
+        frames = rng.random((5, 12, 20, 3)).astype(np.float32)
+        p = str(tmp_path / "inc.y4m")
+        with Y4mWriter(p) as wr:
+            wr.append(frames[:2])
+            wr.append(frames[2])      # single (H, W, C) frame
+            wr.append(frames[3:])
+        back = read_y4m(p)
+        assert back.shape == frames.shape
+        got = np.zeros_like(frames)
+        for s, blk in open_clip_reader(p, block=2):
+            got[s : s + blk.shape[0]] = blk
+        np.testing.assert_array_equal(got, back)
+
     def test_native_stream_matches_numpy(self, rng, tmp_path):
         pytest.importorskip("videomorphing_tpu.utils.native")
         from videomorphing_tpu.utils.native import VmcStream, ensure_built
@@ -85,6 +136,111 @@ class TestProject:
         assert back.morph.lambda_tps == pytest.approx(0.123)
         # untouched defaults survive
         assert back.morph.gamma_ui == MorphParams().gamma_ui
+        np.testing.assert_allclose(back.points, proj.points)
+
+
+class TestXmlImport:
+    """Reference-style XML project import (io/project_xml.py — best-effort,
+    the reference schema itself is [RECON]-unverified)."""
+
+    def test_image_project(self, tmp_path):
+        from videomorphing_tpu.io.project_xml import import_xml_project
+
+        xml = """<?xml version="1.0"?>
+        <project>
+          <image0>a.png</image0>
+          <image1>b.png</image1>
+          <settings w_tps="0.02" weight_ui="80" frames="12" output="res.npz"/>
+          <points>
+            <pair x0="10" y0="20" x1="14" y1="26"/>
+            <pair x0="40" y0="50" x1="44" y1="56"/>
+          </points>
+        </project>"""
+        p = str(tmp_path / "job.xml")
+        with open(p, "w") as f:
+            f.write(xml)
+        proj, report = import_xml_project(p)
+        assert proj.source_a.endswith("a.png")
+        assert proj.source_b.endswith("b.png")
+        assert proj.n_frames == 12
+        assert proj.output.endswith("res.npz")
+        assert proj.morph.lambda_tps == pytest.approx(0.02)
+        assert proj.morph.gamma_ui == pytest.approx(80.0)
+        # XML (x, y) -> Project (y, x)
+        np.testing.assert_allclose(
+            proj.points, [[[20, 10], [26, 14]], [[50, 40], [56, 44]]]
+        )
+        assert report["mapped"]
+
+    def test_keyframes_and_single_point_pairs(self, tmp_path):
+        from videomorphing_tpu.io.project_xml import import_xml_project
+
+        xml = """<project>
+          <videoA>clips/a.vmc</videoA>
+          <videoB>clips/b.vmc</videoB>
+          <correspondences frame="0">
+            <point x="1" y="2"/> <point x="3" y="4"/>
+            <point x="5" y="6"/> <point x="7" y="8"/>
+          </correspondences>
+          <correspondences frame="12">
+            <point x="9" y="10"/> <point x="11" y="12"/>
+          </correspondences>
+        </project>"""
+        p = str(tmp_path / "vid.xml")
+        with open(p, "w") as f:
+            f.write(xml)
+        proj, _ = import_xml_project(p)
+        assert isinstance(proj.points, dict) and set(proj.points) == {0, 12}
+        np.testing.assert_allclose(
+            proj.points[0], [[[2, 1], [4, 3]], [[6, 5], [8, 7]]]
+        )
+        np.testing.assert_allclose(proj.points[12], [[[10, 9], [12, 11]]])
+
+    def test_layers_and_skip_report(self, tmp_path):
+        from videomorphing_tpu.io.project_xml import import_xml_project
+
+        xml = """<project>
+          <source_left>a.png</source_left>
+          <source_right>b.png</source_right>
+          <layer0 mask_a="m0.png" mask_b="m1.png">
+            <pair x0="1" y0="1" x1="2" y1="2"/>
+          </layer0>
+          <mystery_knob>42</mystery_knob>
+        </project>"""
+        p = str(tmp_path / "lay.xml")
+        with open(p, "w") as f:
+            f.write(xml)
+        proj, report = import_xml_project(p)
+        assert proj.layers and proj.layers[0]["mask_a"].endswith("m0.png")
+        assert proj.layers[0]["points"] == [[[1.0, 1.0], [2.0, 2.0]]]
+        assert any("mystery_knob" in s for s in report["skipped"])
+
+    def test_needs_two_sources(self, tmp_path):
+        from videomorphing_tpu.io.project_xml import import_xml_project
+
+        p = str(tmp_path / "bad.xml")
+        with open(p, "w") as f:
+            f.write("<project><image0>a.png</image0></project>")
+        with pytest.raises(ValueError):
+            import_xml_project(p)
+
+    def test_import_then_save_roundtrips(self, tmp_path):
+        """Imported project survives the JSON save/load cycle (the CLI
+        `vmorph import` path)."""
+        from videomorphing_tpu.io.project_xml import import_xml_project
+
+        xml = """<project>
+          <fileA>x.png</fileA><fileB>y.png</fileB>
+          <points><pair x0="0" y0="0" x1="4" y1="4"/></points>
+        </project>"""
+        p = str(tmp_path / "r.xml")
+        with open(p, "w") as f:
+            f.write(xml)
+        proj, _ = import_xml_project(p)
+        j = str(tmp_path / "r.json")
+        save_project(j, proj)
+        back = load_project(j)
+        assert back.source_a == proj.source_a
         np.testing.assert_allclose(back.points, proj.points)
 
 

@@ -277,6 +277,60 @@ def test_fused_warp_planes_layout():
         np.testing.assert_array_equal(planes[4 * C + 2 * c + 1], np.asarray(dw1[..., c, 1]))
 
 
+@pytest.mark.parametrize("kind", ["smooth", "wild", "offedge"])
+def test_warp_prescreen_output_invariant(kind):
+    """``warp_prescreen`` changes DISPATCH only, never values: raw and
+    packed warp planes are identical with the screen on and off. A tame
+    band keeps the kernel path (or is conservatively screened to the
+    bit-equivalent XLA fallback); a wild band reaches the same fallback
+    with or without paying the per-tile prep first."""
+    import dataclasses
+
+    from videomorphing_tpu.pallas.warp import (
+        fused_warp_planes,
+        fused_warp_planes_packed,
+        make_warp_source,
+        packed_plane_geometry,
+    )
+
+    h, w = 130, 300
+    i0, i1, v = _warp_case(h, w, "wild" if kind == "wild" else "smooth", seed=11)
+    if kind == "offedge":
+        v = jnp.zeros((h, w, 2), jnp.float32).at[..., 0].set(60.5)
+    s0, s1 = make_warp_source(i0), make_warp_source(i1)
+
+    a = fused_warp_planes(s0, s1, v, interpret=True, prescreen=False)
+    b = fused_warp_planes(s0, s1, v, interpret=True, prescreen=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p0 = MorphParams()
+    p1 = dataclasses.replace(p0, warp_prescreen=True)
+    assert packed_plane_geometry(p0, h, w) is not None
+    pa = fused_warp_planes_packed(s0, s1, v, p0, interpret=True)
+    pb = fused_warp_planes_packed(s0, s1, v, p1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_variation_screen_classifies():
+    """The shared screen passes near-constant displacements and rejects
+    budget-busting noise (it is conservative: a False does not imply the
+    exact ``fits`` would fail, but a True must never precede a fallback
+    for variation reasons — verified implicitly by the sampler fast-path
+    tests that rely on it)."""
+    from videomorphing_tpu.pallas.warp import _variation_screen, D, DX, TH, TW
+
+    h, w = 128, 512
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # gentle: total slope-bound well under the budget
+    dy = jnp.asarray(0.002 * yy)
+    dx = jnp.asarray(0.002 * xx)
+    assert bool(_variation_screen(dy, dx, TH, TW, D, DX))
+    wild = 30 * np.random.default_rng(0).standard_normal((h, w, 2)).astype(np.float32)
+    assert not bool(
+        _variation_screen(jnp.asarray(wild[..., 0]), jnp.asarray(wild[..., 1]), TH, TW, D, DX)
+    )
+
+
 @pytest.mark.parametrize("shift", [(20.0, 0.0), (0.0, 40.0), (-30.0, -90.0), (9.5, 130.5)])
 def test_fused_sample_offframe_fast_path(shift):
     """Smooth maps running OFF-FRAME must stay on the Pallas fast path.

@@ -69,6 +69,12 @@ def _add_param_overrides(ap: argparse.ArgumentParser) -> None:
                     help="generic config override, e.g. --set morph.ssim_window=7 "
                          "--set video.flow_gamma=20 (sections: morph/synth/video; "
                          "repeatable; same fields as the project JSON)")
+    ap.add_argument("--fps", type=int, default=30,
+                    help="frame rate stamped into .y4m video outputs")
+    ap.add_argument("--platform", default=None, metavar="cpu|tpu",
+                    help="force the JAX platform (e.g. cpu to run without "
+                         "the TPU — a down TPU tunnel otherwise blocks in "
+                         "backend init). Applied before any backend use.")
     ap.add_argument("--verbose", "-v", action="store_true")
     ap.add_argument("--trace", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler (TensorBoard/Perfetto) trace")
@@ -211,7 +217,7 @@ def cmd_pair(args) -> int:
         **endpoint_ssim(np.asarray(frames), i0, i1),
         **midpoint_agreement_ssim(art.v, i0, i1),
     )
-    save_clip(args.out, np.asarray(frames))
+    save_clip(args.out, np.asarray(frames), fps=getattr(args, "fps", 30))
     print(f"wrote {args.frames} frames to {args.out} in {dt:.2f}s")
     return 0
 
@@ -307,13 +313,39 @@ def cmd_video(args) -> int:
             np.asarray(res.fields[t_len // 2]), clip_a[t_len // 2], clip_b[t_len // 2]
         ),
     )
-    save_clip(args.out, np.asarray(res.frames))
+    save_clip(args.out, np.asarray(res.frames), fps=getattr(args, "fps", 30))
     print(f"wrote {t_len} morph frames ({h}x{w}) to {args.out} in {dt:.2f}s")
     return 0
 
 
+def cmd_import(args) -> int:
+    """Convert a reference-style XML project to the JSON schema, with a
+    coverage report (the XML schema is [RECON]-unverified — see
+    io/project_xml.py)."""
+    from videomorphing_tpu.io.project import save_project
+    from videomorphing_tpu.io.project_xml import import_xml_project
+
+    proj, report = import_xml_project(args.project)
+    out = args.out or os.path.splitext(args.project)[0] + ".json"
+    save_project(out, proj)
+    for line in report["mapped"]:
+        print(f"  mapped : {line}")
+    for line in report["skipped"]:
+        print(f"  SKIPPED: {line}")
+    print(f"wrote {out} ({len(report['mapped'])} mapped, "
+          f"{len(report['skipped'])} skipped — review before running)")
+    return 0
+
+
 def cmd_project(args) -> int:
-    proj = load_project(args.project)
+    if args.project.lower().endswith(".xml"):
+        from videomorphing_tpu.io.project_xml import import_xml_project
+
+        proj, report = import_xml_project(args.project)
+        for line in report["skipped"]:
+            print(f"xml import SKIPPED: {line}", file=sys.stderr)
+    else:
+        proj = load_project(args.project)
     sub_args = argparse.Namespace(
         lambda_tps=None, gamma_ui=None, beta_tc=None, levels=None, iters=None,
         blend=None, no_quadratic_paths=False, verbose=args.verbose,
@@ -350,7 +382,7 @@ def _run_project_pair(proj: Project, args) -> int:
             i0, i1, layers, proj.points, proj.n_frames, proj.morph, proj.synth
         )
         np_frames = np.asarray(frames)
-        save_clip(proj.output, np_frames)
+        save_clip(proj.output, np_frames, fps=getattr(args, "fps", 30))
         print(
             f"wrote {np_frames.shape[0]} layered frames to {proj.output} "
             f"in {time.perf_counter()-t0:.2f}s"
@@ -366,7 +398,7 @@ def _run_project_pair(proj: Project, args) -> int:
         api._dev(i0), api._dev(i1), art, ts
     )
     np_frames = np.asarray(frames)
-    save_clip(proj.output, np_frames)
+    save_clip(proj.output, np_frames, fps=getattr(args, "fps", 30))
     print(f"wrote {np_frames.shape[0]} frames to {proj.output} in {time.perf_counter()-t0:.2f}s")
     return 0
 
@@ -406,7 +438,7 @@ def _run_project_video(proj: Project, args) -> int:
             clip_a, clip_b, proj.points,
             times=proj.times, mp=proj.morph, sp=proj.synth, vp=proj.video,
         )
-    save_clip(proj.output, np.asarray(res.frames))
+    save_clip(proj.output, np.asarray(res.frames), fps=getattr(args, "fps", 30))
     print(f"wrote {clip_a.shape[0]} frames to {proj.output} in {time.perf_counter()-t0:.2f}s")
     return 0
 
@@ -477,7 +509,7 @@ def cmd_batch(args) -> int:
         n_frames_total = 0
         for j, frames in zip(job_specs, results):
             out = j.get("out") or f"{os.path.splitext(j['a'])[0]}_morph"
-            save_clip(out, frames)
+            save_clip(out, frames, fps=getattr(args, "fps", 30))
             n_frames_total += frames.shape[0]
         m.emit(
             "metrics", jobs=len(jobs), frames_per_sec=n_frames_total / dt,
@@ -590,6 +622,15 @@ def build_parser() -> argparse.ArgumentParser:
     _add_param_overrides(p_edit)
     p_edit.set_defaults(fn=cmd_edit)
 
+    p_imp = sub.add_parser(
+        "import",
+        help="convert a reference-style XML project to the JSON schema "
+             "(best-effort; prints a mapped/skipped coverage report)",
+    )
+    p_imp.add_argument("project", help="path to the .xml project")
+    p_imp.add_argument("--out", default=None, help="output .json (default: same name)")
+    p_imp.set_defaults(fn=cmd_import)
+
     p_bench = sub.add_parser("bench", help="run the benchmark")
     p_bench.set_defaults(fn=cmd_bench)
     return ap
@@ -598,8 +639,17 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     from videomorphing_tpu.utils.cache import enable_compile_cache
 
-    enable_compile_cache()
     args = build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        # must land before ANY backend query: this environment's site hook
+        # pins jax_platforms to "axon,cpu" at interpreter start, and axon
+        # blocks uninterruptibly in C when the TPU tunnel is down — the env
+        # var JAX_PLATFORMS is latched too early to help. Backends are
+        # lazy, so a config update here is still in time.
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    enable_compile_cache()
     return args.fn(args)
 
 

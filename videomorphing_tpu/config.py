@@ -106,6 +106,16 @@ class MorphParams:
     # (falls back to the combined pack otherwise). Default pending the
     # on-chip measurement (TODO.md perf rank 1).
     warp_into_pack: bool = False
+    # Run the cheap sufficient variation screen (4 diff+max reductions)
+    # BEFORE the fused warp kernel's per-tile prep, per band: a wild band
+    # skips straight to the XLA gather path instead of paying the full
+    # prep only to cond it away (the sampler always screens —
+    # pallas.warp.fused_sample). Trade-off: the screen is conservative,
+    # so borderline-but-fitting bands lose the fast path; tame bands pay
+    # the screen ON TOP of the prep. Default pending the on-chip A/B
+    # (TODO.md perf ledger); exactness is unaffected either way — the
+    # precise ``fits`` check remains the backstop.
+    warp_prescreen: bool = False
 
     def iters_for_level(self, level: int, n_levels: int) -> int:
         """Iteration budget per level; geometric from coarse to fine.

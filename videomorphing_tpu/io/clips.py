@@ -122,19 +122,28 @@ def load_clip(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
         return to_float(np.load(path))
     if path.endswith(".vmc"):
         return read_vmc(path)
+    if path.endswith(".y4m"):
+        from videomorphing_tpu.io.y4m import read_y4m
+
+        return read_y4m(path)
     if path.endswith((".mp4", ".avi", ".mov", ".webm")):
         return _load_video_ffmpeg(path, size)
     raise ValueError(f"unsupported clip source: {path}")
 
 
-def save_clip(path: str, frames: np.ndarray) -> None:
-    """Save (T, H, W, C) float frames to a directory / .npz / .vmc."""
+def save_clip(path: str, frames: np.ndarray, fps: int = 30) -> None:
+    """Save (T, H, W, C) float frames to a directory / .npz / .vmc / .y4m."""
     frames = np.asarray(frames)
     if path.endswith(".npz"):
         np.savez_compressed(path, frames=to_uint8(frames))
         return
     if path.endswith(".vmc"):
         write_vmc(path, frames)
+        return
+    if path.endswith(".y4m"):
+        from videomorphing_tpu.io.y4m import write_y4m
+
+        write_y4m(path, frames, fps=(int(fps), 1))
         return
     os.makedirs(path, exist_ok=True)
     for k in range(frames.shape[0]):
@@ -156,6 +165,8 @@ def open_clip_reader(path: str, block: int = 8):
         except Exception:
             pass
         return _vmc_blocks(path, block)
+    if path.endswith(".y4m"):
+        return _y4m_blocks(path, block)
     clip = load_clip(path)
 
     def gen():
@@ -169,6 +180,20 @@ def _vmc_blocks(path: str, block: int) -> Iterator[Tuple[int, np.ndarray]]:
     t, _, _, _ = read_vmc_header(path)
     for s in range(0, t, block):
         yield s, read_vmc(path, s, block)
+
+
+def _y4m_blocks(path: str, block: int) -> Iterator[Tuple[int, np.ndarray]]:
+    from videomorphing_tpu.io.y4m import iter_y4m
+
+    buf, s = [], 0
+    for frame in iter_y4m(path):
+        buf.append(frame)
+        if len(buf) == block:
+            yield s, np.stack(buf)
+            s += block
+            buf = []
+    if buf:
+        yield s, np.stack(buf)
 
 
 def _load_video_ffmpeg(path: str, size) -> np.ndarray:

@@ -403,6 +403,28 @@ def _build_sample_call(
 _sample_call_cached = functools.lru_cache(maxsize=None)(_build_sample_call)
 
 
+def _variation_screen(dy, dx, th, tw, d_budget, dx_budget):
+    """Cheap SUFFICIENT condition for a band to fit the residual budget.
+
+    ``dy/dx``: displacement planes (clipped coords minus the output grid).
+    A tile's residual extent is bounded by its within-tile displacement
+    variation, itself bounded by ``th * max|row-diff| + tw * max|col-diff|``
+    (plus 1 for the floor). Four diff+max reductions versus
+    :func:`_prep_image`'s full per-tile min/max machinery — used to skip
+    straight to the XLA path on wild bands without paying the prep.
+    Conservative: a False here does NOT imply the exact ``fits`` check
+    would fail, so screening trades fast-path coverage for prep savings
+    (config ``warp_prescreen``; the sampler always screens).
+    """
+    dy_r = jnp.max(jnp.abs(jnp.diff(dy, axis=0)))
+    dy_c = jnp.max(jnp.abs(jnp.diff(dy, axis=1)))
+    dx_r = jnp.max(jnp.abs(jnp.diff(dx, axis=0)))
+    dx_c = jnp.max(jnp.abs(jnp.diff(dx, axis=1)))
+    ok_r = th * dy_r + tw * dy_c <= d_budget - 2
+    ok_c = th * dx_r + tw * dx_c <= dx_budget - 2
+    return ok_r & ok_c
+
+
 N_FALLBACK_BANDS = 4
 
 
@@ -425,7 +447,7 @@ def _row_bands(gy: int, h: int, th: int, n_bands: int = N_FALLBACK_BANDS):
     return bands
 
 
-def fused_warp_planes(src0, src1, v, *, interpret=None) -> jnp.ndarray:
+def fused_warp_planes(src0, src1, v, *, interpret=None, prescreen=False) -> jnp.ndarray:
     """Both halfway warps + derivatives as a RAW plane stack (6C, H, W).
 
     Plane order matches ``sweep.make_sweep_pack``'s layout exactly —
@@ -436,6 +458,9 @@ def fused_warp_planes(src0, src1, v, *, interpret=None) -> jnp.ndarray:
 
     Fast/fallback dispatch is per horizontal band (``_row_bands``): only
     bands whose tiles bust the residual budget pay the XLA gather path.
+    With ``prescreen`` (config ``warp_prescreen``), a cheap sufficient
+    variation screen runs first and a wild band skips the per-tile prep
+    entirely; outputs are identical either way.
     """
     if not isinstance(src0, WarpSource):
         src0 = make_warp_source(src0)
@@ -454,21 +479,6 @@ def fused_warp_planes(src0, src1, v, *, interpret=None) -> jnp.ndarray:
     for (t0, t1, rs, re) in _row_bands(gy, h, TH):
         bt = t1 - t0
         c0b, c1b = c0[rs:re], c1[rs:re]
-        p0 = _prep_image(c0b[..., 0], c0b[..., 1], h, w, bt, gx)
-        p1 = _prep_image(c1b[..., 0], c1b[..., 1], h, w, bt, gx)
-        fits = p0[-1] & p1[-1]
-
-        def pallas_path(_, p0=p0, p1=p1, bt=bt, rs=rs, re=re):
-            call = _warp_call_cached(C, bt, gx, interpret)
-            bases = jnp.stack(
-                [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
-            ).astype(jnp.int32)
-            idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
-            idxf = jnp.stack(
-                [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
-            ).astype(jnp.float32)
-            (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
-            return out[:, : re - rs, :w].astype(v.dtype)
 
         def xla_path(_, c0b=c0b, c1b=c1b):
             w0, dw0 = bilinear_sample_with_grad(i0, c0b)
@@ -479,7 +489,37 @@ def fused_warp_planes(src0, src1, v, *, interpret=None) -> jnp.ndarray:
                     planes += [src[..., c, 0], src[..., c, 1]]
             return jnp.stack(planes, 0)
 
-        outs.append(jax.lax.cond(fits, pallas_path, xla_path, None))
+        def prep_dispatch(_, c0b=c0b, c1b=c1b, bt=bt, rs=rs, re=re, xla_path=xla_path):
+            p0 = _prep_image(c0b[..., 0], c0b[..., 1], h, w, bt, gx)
+            p1 = _prep_image(c1b[..., 0], c1b[..., 1], h, w, bt, gx)
+            fits = p0[-1] & p1[-1]
+
+            def pallas_path(_, p0=p0, p1=p1):
+                call = _warp_call_cached(C, bt, gx, interpret)
+                bases = jnp.stack(
+                    [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
+                ).astype(jnp.int32)
+                idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
+                idxf = jnp.stack(
+                    [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
+                ).astype(jnp.float32)
+                (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
+                return out[:, : re - rs, :w].astype(v.dtype)
+
+            return jax.lax.cond(fits, pallas_path, xla_path, None)
+
+        if prescreen:
+            gb = g[rs:re]
+
+            def screen_of(cb, gb=gb):
+                y = jnp.clip(cb[..., 0], -float(MY), h - 1.0 + MY) - gb[..., 0]
+                x = jnp.clip(cb[..., 1], -float(MX), w - 1.0 + MX) - gb[..., 1]
+                return _variation_screen(y, x, TH, TW, D, DX)
+
+            tame = screen_of(c0b) & screen_of(c1b)
+            outs.append(jax.lax.cond(tame, prep_dispatch, xla_path, None))
+        else:
+            outs.append(prep_dispatch(None))
 
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
@@ -563,21 +603,6 @@ def fused_warp_planes_packed(src0, src1, v, p, *, interpret=None) -> jnp.ndarray
         bt = t1 - t0
         sl = slice(rs, re)
         mb = mask[sl]
-        p0 = _prep_image(c0y[sl], c0x[sl], h, w, bt, gx, th=th, tw=TW, valid=mb)
-        p1 = _prep_image(c1y[sl], c1x[sl], h, w, bt, gx, th=th, tw=TW, valid=mb)
-        fits = p0[-1] & p1[-1]
-
-        def pallas_path(_, p0=p0, p1=p1, bt=bt):
-            call = _warp_call_cached(C, bt, gx, interpret, dt)
-            bases = jnp.stack(
-                [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
-            ).astype(jnp.int32)
-            idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
-            idxf = jnp.stack(
-                [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
-            ).astype(jnp.float32)
-            (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
-            return out  # already pack-layout, nothing to crop
 
         def xla_path(_, sl=sl, mb=mb):
             cb0 = jnp.stack([c0y[sl], c0x[sl]], -1)
@@ -593,7 +618,44 @@ def fused_warp_planes_packed(src0, src1, v, p, *, interpret=None) -> jnp.ndarray
                     planes += [src[..., c, 0] * m, src[..., c, 1] * m]
             return jnp.stack(planes, 0).astype(dt)
 
-        outs.append(jax.lax.cond(fits, pallas_path, xla_path, None))
+        def prep_dispatch(_, sl=sl, mb=mb, bt=bt, xla_path=xla_path):
+            p0 = _prep_image(c0y[sl], c0x[sl], h, w, bt, gx, th=th, tw=TW, valid=mb)
+            p1 = _prep_image(c1y[sl], c1x[sl], h, w, bt, gx, th=th, tw=TW, valid=mb)
+            fits = p0[-1] & p1[-1]
+
+            def pallas_path(_, p0=p0, p1=p1):
+                call = _warp_call_cached(C, bt, gx, interpret, dt)
+                bases = jnp.stack(
+                    [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]], axis=-1
+                ).astype(jnp.int32)
+                idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
+                idxf = jnp.stack(
+                    [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
+                ).astype(jnp.float32)
+                (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
+                return out  # already pack-layout, nothing to crop
+
+            return jax.lax.cond(fits, pallas_path, xla_path, None)
+
+        # Pre-screen in IMAGE layout (config warp_prescreen): pack band
+        # rows [rs, re) hold image rows [rs - halo, re - halo); a pack
+        # tile's samples come from a (th, TW)-extent image window, so the
+        # image-layout variation bound covers the pack-layout tiles. The
+        # pack's zero-padding positions never enter (they'd fake huge
+        # diffs); bands with < 2 valid image rows skip the screen.
+        img_lo, img_hi = max(0, rs - halo), min(h, re - halo)
+        if p.warp_prescreen and img_hi - img_lo >= 2:
+            gb = grid_coords(h, w, v.dtype)[img_lo:img_hi]
+
+            def screen_of(cimg, gb=gb, sl_i=slice(img_lo, img_hi)):
+                y = jnp.clip(cimg[sl_i, :, 0], -float(MY), h - 1.0 + MY) - gb[..., 0]
+                x = jnp.clip(cimg[sl_i, :, 1], -float(MX), w - 1.0 + MX) - gb[..., 1]
+                return _variation_screen(y, x, th, TW, D, DX)
+
+            tame = screen_of(c0) & screen_of(c1)
+            outs.append(jax.lax.cond(tame, prep_dispatch, xla_path, None))
+        else:
+            outs.append(prep_dispatch(None))
 
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
@@ -638,20 +700,9 @@ def fused_sample(srcs, coords, *, interpret=None):
         def _screen(co):
             # clip to the same EXTENDED range as _prep_image so smooth maps
             # running off-frame are not misread as wild (see MY/MX comment)
-            d = jnp.stack(
-                [
-                    jnp.clip(co[..., 0], -float(MY), h - 1.0 + MY),
-                    jnp.clip(co[..., 1], -float(MX), w - 1.0 + MX),
-                ],
-                -1,
-            ) - gb
-            dy_dy = jnp.max(jnp.abs(jnp.diff(d[..., 0], axis=0)))
-            dy_dx = jnp.max(jnp.abs(jnp.diff(d[..., 0], axis=1)))
-            dx_dy = jnp.max(jnp.abs(jnp.diff(d[..., 1], axis=0)))
-            dx_dx = jnp.max(jnp.abs(jnp.diff(d[..., 1], axis=1)))
-            ok_r = TH_S * dy_dy + TW_S * dy_dx <= D - 2
-            ok_c = TH_S * dx_dy + TW_S * dx_dx <= DX_SAMPLE - 2
-            return ok_r & ok_c
+            y = jnp.clip(co[..., 0], -float(MY), h - 1.0 + MY) - gb[..., 0]
+            x = jnp.clip(co[..., 1], -float(MX), w - 1.0 + MX) - gb[..., 1]
+            return _variation_screen(y, x, TH_S, TW_S, D, DX_SAMPLE)
 
         tame = _screen(cb[0])
         for co in cb[1:]:
@@ -712,7 +763,7 @@ def fused_sample(srcs, coords, *, interpret=None):
     ]
 
 
-def fused_warp_pair(src0, src1, v, *, interpret=None):
+def fused_warp_pair(src0, src1, v, *, interpret=None, prescreen=False):
     """Both halfway warps with derivatives: Pallas-fast per band when the
     field is tame there, exact-XLA per band otherwise.
 
@@ -727,7 +778,7 @@ def fused_warp_pair(src0, src1, v, *, interpret=None):
     if not isinstance(src1, WarpSource):
         src1 = make_warp_source(src1)
     h, w, C = src0.img.shape
-    out = fused_warp_planes(src0, src1, v, interpret=interpret)
+    out = fused_warp_planes(src0, src1, v, interpret=interpret, prescreen=prescreen)
     w0 = jnp.moveaxis(out[0:C], 0, -1)
     w1 = jnp.moveaxis(out[C : 2 * C], 0, -1)
     dw0 = jnp.moveaxis(out[2 * C : 4 * C].reshape(C, 2, h, w), (0, 1), (2, 3))

@@ -141,12 +141,12 @@ def warp_bundle(v: jnp.ndarray, data: LevelData) -> WarpBundle:
     return WarpBundle(v_lin=v, w0=w0, dw0=dw0, w1=w1, dw1=dw1)
 
 
-def warp_bundle_fused(v: jnp.ndarray, src0, src1) -> WarpBundle:
+def warp_bundle_fused(v: jnp.ndarray, src0, src1, prescreen: bool = False) -> WarpBundle:
     """Re-warp via the fused Pallas warp kernel (pallas.warp), with the
     exact XLA gather as automatic fallback for wild fields."""
     from videomorphing_tpu.pallas.warp import fused_warp_pair
 
-    w0, dw0, w1, dw1 = fused_warp_pair(src0, src1, v)
+    w0, dw0, w1, dw1 = fused_warp_pair(src0, src1, v, prescreen=prescreen)
     return WarpBundle(v_lin=v, w0=w0, dw0=dw0, w1=w1, dw1=dw1)
 
 
@@ -341,7 +341,7 @@ def make_level_solver(p: MorphParams, n_iters: int):
 
             src0 = make_warp_source(data.i0)
             src1 = make_warp_source(data.i1)
-            rewarp = lambda v_: warp_bundle_fused(v_, src0, src1)
+            rewarp = lambda v_: warp_bundle_fused(v_, src0, src1, p.warp_prescreen)
         else:
             rewarp = lambda v_: warp_bundle(v_, data)
 
@@ -399,7 +399,9 @@ def make_level_solver(p: MorphParams, n_iters: int):
                         # so the stored planes and stored v_lin stay
                         # consistent (quantize_v_lin is a no-op for f32)
                         v_q = quantize_v_lin(v_, p)
-                        planes = fused_warp_planes(src0, src1, v_q)
+                        planes = fused_warp_planes(
+                            src0, src1, v_q, prescreen=p.warp_prescreen
+                        )
                         return make_sweep_pack_planes(planes, v_q, data, p)
                 else:
                     def make_state(v_):
