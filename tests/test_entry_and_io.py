@@ -84,6 +84,27 @@ class TestClipIO:
         with pytest.raises(ValueError):
             write_y4m(str(tmp_path / "odd.y4m"), frames[:, :15], chroma="420jpeg")
 
+    def test_y4m_empty_clip_and_foreign_markers(self, rng, tmp_path):
+        """Zero-frame clips round-trip (valid header, T=0), and frame
+        counting survives spec-legal per-frame parameter strings
+        ('FRAME Ixxx') from third-party tools (review findings)."""
+        from videomorphing_tpu.io.y4m import read_y4m, read_y4m_header, write_y4m
+
+        p = str(tmp_path / "empty.y4m")
+        write_y4m(p, np.zeros((0, 8, 10, 3), np.float32))
+        t, h, w, *_ = read_y4m_header(p)
+        assert (t, h, w) == (0, 8, 10)
+        assert read_y4m(p).shape == (0, 8, 10, 3)
+
+        frames = rng.random((3, 8, 10, 3)).astype(np.float32)
+        q = str(tmp_path / "param.y4m")
+        write_y4m(q, frames)
+        raw = open(q, "rb").read().replace(b"FRAME\n", b"FRAME Ip X7\n")
+        with open(q, "wb") as f:
+            f.write(raw)
+        assert read_y4m_header(q)[0] == 3
+        assert read_y4m(q).shape == frames.shape
+
     def test_y4m_incremental_writer_and_blocks(self, rng, tmp_path):
         """Streaming writer == one-shot writer; block reader re-chunks."""
         from videomorphing_tpu.io.clips import open_clip_reader
@@ -214,6 +235,40 @@ class TestXmlImport:
         assert proj.layers and proj.layers[0]["mask_a"].endswith("m0.png")
         assert proj.layers[0]["points"] == [[[1.0, 1.0], [2.0, 2.0]]]
         assert any("mystery_knob" in s for s in report["skipped"])
+
+    def test_output_name_not_taken_as_source(self, tmp_path):
+        """'outputfile' contains the source keyword 'file' but is a
+        destination; it must not displace a real source (review finding)."""
+        from videomorphing_tpu.io.project_xml import import_xml_project
+
+        xml = """<project>
+          <outputfile>res.y4m</outputfile>
+          <image0>a.png</image0><image1>b.png</image1>
+        </project>"""
+        p = str(tmp_path / "o.xml")
+        with open(p, "w") as f:
+            f.write(xml)
+        proj, _ = import_xml_project(p)
+        assert proj.source_a.endswith("a.png")
+        assert proj.source_b.endswith("b.png")
+        assert proj.output.endswith("res.y4m")
+
+    def test_unconsumed_group_attrs_reported(self, tmp_path):
+        """Attributes inside a claimed layer/points group that the import
+        did not consume must appear in the skipped report (review finding)."""
+        from videomorphing_tpu.io.project_xml import import_xml_project
+
+        xml = """<project>
+          <image0>a.png</image0><image1>b.png</image1>
+          <layer0 mask_a="m0.png" mask_b="m1.png" opacity="0.5">
+            <pair x0="1" y0="1" x1="2" y1="2"/>
+          </layer0>
+        </project>"""
+        p = str(tmp_path / "u.xml")
+        with open(p, "w") as f:
+            f.write(xml)
+        _, report = import_xml_project(p)
+        assert any("opacity" in s for s in report["skipped"])
 
     def test_needs_two_sources(self, tmp_path):
         from videomorphing_tpu.io.project_xml import import_xml_project

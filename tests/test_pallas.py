@@ -311,6 +311,19 @@ def test_warp_prescreen_output_invariant(kind):
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
+def test_warp_prescreen_single_row_band():
+    """h = 65 makes the last row band a single pixel row; the screen's
+    diffs are empty there and must be skipped, not reduced (jnp.max of a
+    zero-size array raises — review finding)."""
+    from videomorphing_tpu.pallas.warp import fused_warp_planes, make_warp_source
+
+    i0, i1, v = _warp_case(65, 300, "smooth", seed=5)
+    s0, s1 = make_warp_source(i0), make_warp_source(i1)
+    a = fused_warp_planes(s0, s1, v, interpret=True, prescreen=False)
+    b = fused_warp_planes(s0, s1, v, interpret=True, prescreen=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_variation_screen_classifies():
     """The shared screen passes near-constant displacements and rejects
     budget-busting noise (it is conservative: a False does not imply the

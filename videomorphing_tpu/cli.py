@@ -69,15 +69,20 @@ def _add_param_overrides(ap: argparse.ArgumentParser) -> None:
                     help="generic config override, e.g. --set morph.ssim_window=7 "
                          "--set video.flow_gamma=20 (sections: morph/synth/video; "
                          "repeatable; same fields as the project JSON)")
+    _add_runtime_flags(ap)
+    ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument("--trace", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler (TensorBoard/Perfetto) trace")
+
+
+def _add_runtime_flags(ap: argparse.ArgumentParser) -> None:
+    """Flags every subcommand needs (project/import/bench included)."""
     ap.add_argument("--fps", type=int, default=30,
                     help="frame rate stamped into .y4m video outputs")
     ap.add_argument("--platform", default=None, metavar="cpu|tpu",
                     help="force the JAX platform (e.g. cpu to run without "
                          "the TPU — a down TPU tunnel otherwise blocks in "
                          "backend init). Applied before any backend use.")
-    ap.add_argument("--verbose", "-v", action="store_true")
-    ap.add_argument("--trace", default=None, metavar="LOGDIR",
-                    help="capture a jax.profiler (TensorBoard/Perfetto) trace")
 
 
 def _apply_set_overrides(sets, mp, sp, vp):
@@ -350,8 +355,9 @@ def cmd_project(args) -> int:
         lambda_tps=None, gamma_ui=None, beta_tc=None, levels=None, iters=None,
         blend=None, no_quadratic_paths=False, verbose=args.verbose,
         points=None, out=proj.output, fields=None,
+        fps=getattr(args, "fps", 30),
     )
-    is_clip = not proj.source_a.lower().endswith((".png", ".jpg", ".jpeg"))
+    is_clip = not proj.source_a.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
     if is_clip:
         sub_args.clip_a = proj.source_a
         sub_args.clip_b = proj.source_b
@@ -523,6 +529,12 @@ def cmd_batch(args) -> int:
         return 2
     if args.clip_a.endswith(".vmc"):
         t_len, h, w, _c = read_vmc_header(args.clip_a)
+    elif args.clip_a.endswith(".y4m"):
+        # header-only shape read: decoding the whole clip to learn its
+        # shape would defeat the streaming design (review finding)
+        from videomorphing_tpu.io.y4m import read_y4m_header
+
+        t_len, h, w, _chroma, _fps = read_y4m_header(args.clip_a)
     else:
         shape = load_clip(args.clip_a).shape
         t_len, h, w = shape[0], shape[1], shape[2]
@@ -587,9 +599,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_param_overrides(p_vid)
     p_vid.set_defaults(fn=cmd_video)
 
-    p_proj = sub.add_parser("project", help="run a project JSON")
+    p_proj = sub.add_parser("project", help="run a project JSON (or import+run an .xml)")
     p_proj.add_argument("project")
     p_proj.add_argument("--verbose", "-v", action="store_true")
+    _add_runtime_flags(p_proj)
     p_proj.set_defaults(fn=cmd_project)
 
     p_batch = sub.add_parser(
@@ -629,9 +642,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_imp.add_argument("project", help="path to the .xml project")
     p_imp.add_argument("--out", default=None, help="output .json (default: same name)")
+    _add_runtime_flags(p_imp)
     p_imp.set_defaults(fn=cmd_import)
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
+    _add_runtime_flags(p_bench)
     p_bench.set_defaults(fn=cmd_bench)
     return ap
 

@@ -147,6 +147,24 @@ def import_xml_project(path: str) -> Tuple[Project, Dict[str, Any]]:
     point_groups: List[Tuple[Optional[int], List]] = []
     layers: List[Dict[str, Any]] = []
 
+    # entries a claimed group DID consume (coords, masks, frame indices) —
+    # anything else inside it still lands in the skipped report (the module
+    # contract: nothing is dropped silently)
+    _GROUP_KNOWN = re.compile(
+        r"^(x|y|x0|y0|x1|y1|ax|ay|bx|by|x_a|y_a|x_b|y_b|xa|ya|xb|yb"
+        r"|frame|time|index|key)$|mask",
+        re.I,
+    )
+
+    def _report_unconsumed(group: ET.Element) -> None:
+        for sub in group.iter():
+            for k, v in sub.attrib.items():
+                if not _GROUP_KNOWN.search(k):
+                    skipped.append(f"{sub.tag}/{k} = {v}")
+            for ch in sub:
+                if len(ch) == 0 and ch.text and ch.text.strip() and not _GROUP_KNOWN.search(ch.tag):
+                    skipped.append(f"{sub.tag}/{ch.tag} = {ch.text.strip()}")
+
     claimed: set = set()
     for el in root.iter():
         tag = _lc(el.tag)
@@ -165,6 +183,7 @@ def import_xml_project(path: str) -> Tuple[Project, Dict[str, Any]]:
                     lay["points"] = lpts
                 layers.append(lay)
                 claimed.update(id(x) for x in el.iter())
+                _report_unconsumed(el)
                 mapped.append(f"layer <{el.tag}> ({len(lpts)} pairs, {len(masks)} masks)")
                 continue
         if _POINT_GROUP.search(tag) and id(el) not in claimed:
@@ -176,6 +195,7 @@ def import_xml_project(path: str) -> Tuple[Project, Dict[str, Any]]:
                         frame = int(float(v))
                 point_groups.append((frame, pts))
                 claimed.update(id(x) for x in el.iter())
+                _report_unconsumed(el)
                 mapped.append(
                     f"points <{el.tag}> ({len(pts)} pairs"
                     + (f", frame {frame})" if frame is not None else ")")
@@ -189,7 +209,12 @@ def import_xml_project(path: str) -> Tuple[Project, Dict[str, Any]]:
             if id(src) in claimed:
                 continue
             lname = _lc(name)
-            if _PATH_KEY.search(lname) and val and _PATH_VAL.search(val):
+            # output naming wins over source naming: "outputfile" /
+            # "result_clip" contain source keywords ("file", "clip") but
+            # are destinations — consuming them as inputs displaced a real
+            # source (review finding)
+            is_out = bool(re.search(r"^(out|output|result)", lname))
+            if not is_out and _PATH_KEY.search(lname) and val and _PATH_VAL.search(val):
                 is_b = bool(_ORDER_B.search(lname))
                 sources.append((is_b, lname, os.path.join(base, val)))
                 mapped.append(f"source {name} = {val}")
@@ -210,7 +235,7 @@ def import_xml_project(path: str) -> Tuple[Project, Dict[str, Any]]:
                 if hit:
                     continue
                 skipped.append(f"{el.tag}/{name} = {val}")
-            elif re.search(r"^(out|output|result)", lname) and val:
+            elif is_out and val:
                 output = os.path.join(base, val)
                 mapped.append(f"output = {val}")
             elif val and len(val) < 120:

@@ -135,38 +135,53 @@ def write_y4m(
     chroma: str = "444",
 ) -> None:
     """Write (T, H, W, C) float [0,1] or uint8 frames as a .y4m video."""
+    frames = np.asarray(frames)
     with Y4mWriter(path, fps=fps, chroma=chroma) as wr:
-        wr.append(np.asarray(frames))
+        if frames.ndim == 4 and frames.shape[0] == 0:
+            # zero-frame clip: still emit a valid header (shape is known),
+            # so the file round-trips like the npz/vmc formats do
+            wr._write_header(frames.shape[1], frames.shape[2])
+        else:
+            wr.append(frames)
 
 
 def read_y4m_header(path: str) -> Tuple[int, int, int, str, Tuple[int, int]]:
-    """Return (T, H, W, chroma, fps). T is computed from the file size."""
+    """Return (T, H, W, chroma, fps).
+
+    T comes from walking the frame markers with seeks (no payload reads):
+    the spec allows per-frame parameters after ``FRAME``, so a fixed
+    6-byte-marker size division would overcount third-party files."""
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
         line = f.readline()
-        header_len = len(line)
-    if not line.startswith(_MAGIC):
-        raise ValueError(f"{path} is not a YUV4MPEG2 stream")
-    fields = line.decode("ascii", "replace").strip().split(" ")[1:]
-    w = h = None
-    chroma = "420jpeg"  # the spec's default when no C tag is present
-    fps = (30, 1)
-    for tok in fields:
-        if tok.startswith("W"):
-            w = int(tok[1:])
-        elif tok.startswith("H"):
-            h = int(tok[1:])
-        elif tok.startswith("C"):
-            chroma = tok[1:]
-        elif tok.startswith("F"):
-            m = re.match(r"F(\d+):(\d+)", tok)
-            if m:
-                fps = (int(m.group(1)), int(m.group(2)))
-    if w is None or h is None:
-        raise ValueError(f"{path}: Y4M header missing W/H")
-    fsz = _frame_bytes(h, w, chroma)
-    total = os.path.getsize(path) - header_len
-    per = len(b"FRAME\n") + fsz
-    t = max(0, total // per)
+        if not line.startswith(_MAGIC):
+            raise ValueError(f"{path} is not a YUV4MPEG2 stream")
+        fields = line.decode("ascii", "replace").strip().split(" ")[1:]
+        w = h = None
+        chroma = "420jpeg"  # the spec's default when no C tag is present
+        fps = (30, 1)
+        for tok in fields:
+            if tok.startswith("W"):
+                w = int(tok[1:])
+            elif tok.startswith("H"):
+                h = int(tok[1:])
+            elif tok.startswith("C"):
+                chroma = tok[1:]
+            elif tok.startswith("F"):
+                m = re.match(r"F(\d+):(\d+)", tok)
+                if m:
+                    fps = (int(m.group(1)), int(m.group(2)))
+        if w is None or h is None:
+            raise ValueError(f"{path}: Y4M header missing W/H")
+        fsz = _frame_bytes(h, w, chroma)
+        t = 0
+        while True:
+            marker = f.readline()
+            if not marker or not marker.startswith(b"FRAME"):
+                break
+            if f.seek(fsz, os.SEEK_CUR) > size:
+                break  # truncated final frame
+            t += 1
     return t, h, w, chroma, fps
 
 

@@ -508,7 +508,10 @@ def fused_warp_planes(src0, src1, v, *, interpret=None, prescreen=False) -> jnp.
 
             return jax.lax.cond(fits, pallas_path, xla_path, None)
 
-        if prescreen:
+        # single-row/col bands have empty diffs (jnp.max of a zero-size
+        # array is an error) — skip the screen there, mirroring the packed
+        # variant's guard
+        if prescreen and re - rs >= 2 and w >= 2:
             gb = g[rs:re]
 
             def screen_of(cb, gb=gb):
@@ -644,8 +647,8 @@ def fused_warp_planes_packed(src0, src1, v, p, *, interpret=None) -> jnp.ndarray
         # pack's zero-padding positions never enter (they'd fake huge
         # diffs); bands with < 2 valid image rows skip the screen.
         img_lo, img_hi = max(0, rs - halo), min(h, re - halo)
-        if p.warp_prescreen and img_hi - img_lo >= 2:
-            gb = grid_coords(h, w, v.dtype)[img_lo:img_hi]
+        if p.warp_prescreen and img_hi - img_lo >= 2 and w >= 2:
+            gb = g[img_lo:img_hi]
 
             def screen_of(cimg, gb=gb, sl_i=slice(img_lo, img_hi)):
                 y = jnp.clip(cimg[sl_i, :, 0], -float(MY), h - 1.0 + MY) - gb[..., 0]
