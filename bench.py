@@ -392,6 +392,15 @@ def main(argv=None) -> int:
                     "vs_baseline": None,
                     "error": f"device backend unreachable — no measurement "
                     f"possible: {down_reason}",
+                    # NOT this run's number — the most recent completed
+                    # on-chip measurement of this exact workload (30-frame
+                    # 1080p north star, one v5e chip), recorded in PERF.md
+                    # "Round-2 measured numbers", for the record while the
+                    # tunnel is down:
+                    "last_measured_value": 0.707,
+                    "last_measured_vs_baseline": 1.89,
+                    "last_measured_note": "prior on-chip run (PERF.md); "
+                    "re-run scripts/onchip_queue.sh when the tunnel is back",
                 }
             )
         )

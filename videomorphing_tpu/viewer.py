@@ -45,6 +45,34 @@ def field_magnitude(v) -> np.ndarray:
     return np.linalg.norm(v, axis=-1)
 
 
+def field_color(v, max_mag: Optional[float] = None) -> np.ndarray:
+    """Direction-coded field visualization (Middlebury-style color wheel).
+
+    Hue = direction of ``v`` (or a flow), saturation/value = magnitude
+    scaled to ``max_mag`` (default: the field's own max). The standard
+    instrument for judging a correspondence field or optical flow at a
+    glance — smooth hue ramps are coherent motion, speckle is noise,
+    hue discontinuities are motion boundaries. Returns (H, W, 3) in [0,1].
+    """
+    v = np.asarray(v, np.float32)
+    mag = np.linalg.norm(v, axis=-1)
+    scale = float(max_mag) if max_mag else max(float(mag.max()), 1e-6)
+    ang = np.arctan2(-v[..., 0], -v[..., 1])      # image convention: y down
+    h = (ang / np.pi + 1.0) / 2.0                 # [0, 1)
+    s = np.clip(mag / scale, 0.0, 1.0)
+    # inline HSV->RGB (value=1) — avoids a colorsys per-pixel loop
+    i = np.floor(h * 6.0).astype(int) % 6
+    f = h * 6.0 - np.floor(h * 6.0)
+    p, q, t = 1.0 - s, 1.0 - f * s, 1.0 - (1.0 - f) * s
+    one = np.ones_like(s)
+    lut = np.stack([
+        np.stack([one, t, p], -1), np.stack([q, one, p], -1),
+        np.stack([p, one, t], -1), np.stack([p, q, one], -1),
+        np.stack([t, p, one], -1), np.stack([one, p, q], -1),
+    ], 0)
+    return np.take_along_axis(lut, i[None, ..., None], axis=0)[0]
+
+
 def show_halfway(i0, i1, v, points: Optional[np.ndarray] = None, ax=None):
     """Render the halfway view (+ correspondence anchors) via matplotlib.
 
