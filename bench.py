@@ -210,7 +210,16 @@ def _bench_params():
     return mp, sp, vp
 
 
-def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
+def run_bench(t_len: int, h: int, w: int, repeats: int = 3):
+    """Time the north-star workload ``repeats`` times (distinct content per
+    rep) and return ``(fps_best, walls, solve_iters)``.
+
+    Multi-rep by default (VERDICT round 2 weak #1): the tunnel's latency is
+    wildly variable, so a single sample can't distinguish a real perf delta
+    from noise. The headline fps uses the BEST wall (standard practice —
+    the minimum is the least-noise estimate of the compute cost); the full
+    list is emitted so the spread is on record.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -246,9 +255,12 @@ def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
         return res
 
     # warmup: compiles every shape involved (same shapes as the timed run)
-    once(0)
+    res = once(0)
+    # total optimizer iterations (constant across reps up to tol-stopping
+    # noise; None on the blocked multi-device path) -> iters/sec/Mpixel
+    iters = None if res.solve_iters is None else int(res.solve_iters)
 
-    best = float("inf")
+    walls = []
     for r in range(max(repeats, 1)):
         # time-derived seed: the TPU runtime result-caches identical
         # (executable, inputs) executions ACROSS processes, so even a fresh
@@ -256,8 +268,8 @@ def run_bench(t_len: int, h: int, w: int, repeats: int = 1):
         seed = int(time.time_ns() % (1 << 31))
         t0 = time.perf_counter()
         once(seed)
-        best = min(best, time.perf_counter() - t0)
-    return t_len / best, best
+        walls.append(time.perf_counter() - t0)
+    return t_len / min(walls), walls, iters
 
 
 def _bench_pair(h: int, w: int, n_frames: int, n_points: int = 0, seed0: int = 0):
@@ -394,12 +406,12 @@ def main(argv=None) -> int:
                     f"possible: {down_reason}",
                     # NOT this run's number — the most recent completed
                     # on-chip measurement of this exact workload (30-frame
-                    # 1080p north star, one v5e chip), recorded in PERF.md
-                    # "Round-2 measured numbers", for the record while the
-                    # tunnel is down:
-                    "last_measured_value": 0.707,
-                    "last_measured_vs_baseline": 1.89,
-                    "last_measured_note": "prior on-chip run (PERF.md); "
+                    # 1080p north star, one v5e chip), recorded in
+                    # BENCH_r02.json (driver run, 2026-08-19), for the
+                    # record while the tunnel is down:
+                    "last_measured_value": 0.8923,
+                    "last_measured_vs_baseline": 2.3796,
+                    "last_measured_note": "prior on-chip run (BENCH_r02); "
                     "re-run scripts/onchip_queue.sh when the tunnel is back",
                 }
             )
@@ -441,7 +453,9 @@ def main(argv=None) -> int:
     import jax
 
     n_chips = max(len(jax.devices()), 1)
-    fps, wall = run_bench(t_len, h, w)
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    fps, walls, iters = run_bench(t_len, h, w, repeats=repeats)
+    wall = min(walls)
     per_chip = fps / n_chips
     baseline_per_chip = 3.0 / 8.0  # north star: 30 frames / 10 s on 8 chips
 
@@ -463,6 +477,7 @@ def main(argv=None) -> int:
     except Exception as e:  # pragma: no cover
         extra["golden_midpoint_ssim"] = f"error: {e}"
 
+    spread_pct = 100.0 * (max(walls) - min(walls)) / min(walls) if walls else 0.0
     print(
         json.dumps(
             {
@@ -471,12 +486,19 @@ def main(argv=None) -> int:
                 "unit": "frames/s",
                 "vs_baseline": round(per_chip / baseline_per_chip, 4),
                 "frames": t_len,
+                "wall_seconds": [round(x, 2) for x in walls],
+                "wall_spread_pct": round(spread_pct, 1),
+                "iters_per_sec_per_mpix": (
+                    None if iters is None
+                    else round(iters / min(walls) / (h * w / 1e6), 1)
+                ),
                 **extra,
             }
         )
     )
     print(
-        f"# {t_len} frames {w}x{h} in {wall:.2f}s on {n_chips} chip(s)",
+        f"# {t_len} frames {w}x{h} in {wall:.2f}s (best of {len(walls)}) "
+        f"on {n_chips} chip(s)",
         file=sys.stderr,
     )
     return 0

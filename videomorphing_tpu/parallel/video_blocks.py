@@ -20,7 +20,9 @@ agree with the sequential solve to the usual cross-executable tolerance).
 
 Everything runs under ONE jitted ``shard_map`` over a 1-D mesh —
 per-device: cold pyramid solve + ``lax.scan`` over the block's remaining
-frames. Flows are computed once (replicated) before the shard_map.
+frames. The flow phase runs BEFORE the shard_map and is itself sharded
+over the mesh when one is present (``video.flow.clip_flows_sharded`` via
+``video.pipeline.solve_clip_fields``).
 """
 
 from __future__ import annotations
@@ -122,8 +124,10 @@ def solve_clip_fields_blocked(
     ``tracked_points``: (T, N, 2, 2) per-frame correspondences (from
     ``video.temporal.track_keyframe_points``). ``flows``: the dict from
     ``video.pipeline.solve_clip_fields``'s flow phase (only the forward
-    flows are consumed). T must divide by the mesh size; callers pad the
-    clip (repeat last frame) or fall back to the sequential pipeline.
+    flows are consumed). T must divide by the mesh size —
+    ``solve_clip_fields`` guarantees this by padding any clip with
+    repeated last frames (zero flow between repeats) and trimming the
+    padded fields; there is no sequential fallback.
 
     Returns (T, H, W, 2).
     """

@@ -42,6 +42,10 @@ class VideoResult(NamedTuple):
     bulges: Optional[jnp.ndarray]  # (T, H, W, 2) quadratic-path bulges
     frames: Optional[jnp.ndarray]  # (T, H, W, C) rendered morph frames
     tracked_points: Optional[jnp.ndarray]  # (T, N, 2, 2) tracked UI pairs
+    solve_iters: Optional[jnp.ndarray] = None  # scalar: total optimizer
+    # iterations across the cold solve + warm scan (None on the blocked
+    # multi-device path, which doesn't report per-frame stats); feeds the
+    # BASELINE "iters/sec/Mpixel" metric in bench.py
 
 
 def warm_level_count(hw: Tuple[int, int], vp: VideoParams) -> int:
@@ -138,15 +142,15 @@ def _jitted_frame_scan(mp: MorphParams, vp: VideoParams, hw: Tuple[int, int]):
             else:
                 tc_v = jnp.zeros_like(v_prev)
                 tc_w = jnp.zeros((h, w, 1), dtype)
-            v_t, _aux = warm_solve(
+            v_t, aux = warm_solve(
                 a_t, b_t, pts_t,
                 tc_v if vp.propagate else jnp.zeros_like(v_prev), tc_v, tc_w,
             )
-            return v_t, v_t
+            return v_t, (v_t, aux[2])
 
         xs = (clip_a_rest, clip_b_rest, ptss_rest, fa_fwd, fb_fwd)
-        _vf, vs = jax.lax.scan(scan_body, v0, xs)
-        return vs
+        _vf, (vs, iters) = jax.lax.scan(scan_body, v0, xs)
+        return vs, jnp.sum(iters)
 
     return jax.jit(run)
 
@@ -159,6 +163,7 @@ def solve_clip_fields(
     vp: VideoParams = VideoParams(),
     mesh=None,
     mesh_axis: str = "batch",
+    return_stats: bool = False,
 ):
     """Solve halfway fields for every frame pair of two clips (T, H, W, C).
 
@@ -170,6 +175,8 @@ def solve_clip_fields(
 
     Returns ``(fields (T,H,W,2), tracked (T,N,2,2), flows)`` where flows is
     the dict of per-clip fwd/bwd flows (reused for occlusion weighting).
+    With ``return_stats=True`` a 4th element is appended: total optimizer
+    iterations (scalar; ``None`` on the blocked multi-device path).
     """
     t_len, h, w = clip_a.shape[0], clip_a.shape[1], clip_a.shape[2]
     dtype = clip_a.dtype
@@ -230,20 +237,27 @@ def solve_clip_fields(
                 _pad_frames(clip_a), _pad_frames(clip_b), _pad_frames(tracked),
                 flows_p, mesh, mp, vp, mesh_axis,
             )[:t_len]
+            if return_stats:
+                return fields, tracked, flows, None
             return fields, tracked, flows
 
     # frame 0: cold full-pyramid solve
     res0 = optimize_pair(clip_a[0], clip_b[0], points=tracked[0], params=mp)
     v0 = res0.v
+    cold_iters = sum(s.iters for s in res0.level_stats)
 
     if t_len == 1:
+        if return_stats:
+            return v0[None], tracked, flows, cold_iters
         return v0[None], tracked, flows
 
-    vs = _jitted_frame_scan(mp, vp, (h, w))(
+    vs, warm_iters = _jitted_frame_scan(mp, vp, (h, w))(
         clip_a[1:], clip_b[1:], v0, tracked[1:], fa_fwd, fb_fwd
     )
 
     fields = jnp.concatenate([v0[None], vs], axis=0)
+    if return_stats:
+        return fields, tracked, flows, cold_iters + warm_iters
     return fields, tracked, flows
 
 
@@ -315,12 +329,14 @@ def morph_video(
     frame BLOCKS across devices (config 4) when the clip length divides.
     """
     t_len = clip_a.shape[0]
-    fields, tracked, flows = solve_clip_fields(clip_a, clip_b, points, mp, vp, mesh=mesh)
+    fields, tracked, flows, iters = solve_clip_fields(
+        clip_a, clip_b, points, mp, vp, mesh=mesh, return_stats=True
+    )
     res = render_video(
         clip_a, clip_b, fields, times=times, sp=sp, vp=vp,
         flows=flows, render=render, mesh=mesh,
     )
-    return res._replace(tracked_points=tracked)
+    return res._replace(tracked_points=tracked, solve_iters=iters)
 
 
 def render_video(
@@ -436,7 +452,7 @@ def resume_clip_fields(
         key_pts, fa_fwd, fa_bwd, fb_fwd, fb_bwd
     )
 
-    vs = _jitted_frame_scan(mp, vp, (h, w))(
+    vs, _iters = _jitted_frame_scan(mp, vp, (h, w))(
         clip_a[start:], clip_b[start:],
         jnp.asarray(v_prev, dtype),
         tracked[start:], fa_fwd[start - 1:], fb_fwd[start - 1:],
