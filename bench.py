@@ -407,12 +407,13 @@ def main(argv=None) -> int:
                     # NOT this run's number — the most recent completed
                     # on-chip measurement of this exact workload (30-frame
                     # 1080p north star, one v5e chip), recorded in
-                    # BENCH_r02.json (driver run, 2026-08-19), for the
+                    # the round-3 queue (3 reps, 0.1% spread), for the
                     # record while the tunnel is down:
-                    "last_measured_value": 0.8923,
-                    "last_measured_vs_baseline": 2.3796,
-                    "last_measured_note": "prior on-chip run (BENCH_r02); "
-                    "re-run scripts/onchip_queue.sh when the tunnel is back",
+                    "last_measured_value": 0.8928,
+                    "last_measured_vs_baseline": 2.3808,
+                    "last_measured_note": "prior on-chip run (round-3 queue, "
+                    "3 reps, 0.1% spread); re-run scripts/onchip_queue.sh "
+                    "when the tunnel is back",
                 }
             )
         )
