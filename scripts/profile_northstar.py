@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="cpu/tpu — the axon plugin ignores JAX_PLATFORMS; "
                     "this is the only reliable off-chip switch")
+    ap.add_argument("--trace", default=None,
+                    help="directory: capture per-phase jax.profiler traces "
+                    "(warm_scan + render, the two largest phases) for "
+                    "scripts/trace_summary.py")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -115,6 +119,43 @@ def main():
     phases(0)  # compile pass
     rec = phases(int(time.time_ns()) % (1 << 31))
     total = sum(rec.values())
+
+    if args.trace:
+        # fresh content (the runtime result-caches identical inputs), one
+        # trace per hot phase so trace_summary.py attributes cleanly
+        ca, cb = gen(jnp.int32(int(time.time_ns()) % (1 << 31)))
+        fetch(ca); fetch(cb)
+        flows_fn = _jitted_clip_flows(vp)
+        fa_fwd, fa_bwd = flows_fn(ca)
+        fb_fwd, fb_bwd = flows_fn(cb)
+        pts = jnp.zeros((1, 0, 2, 2), ca.dtype)
+        tracked = _jitted_track(t_len, (0,), mp, vp)(
+            pts, fa_fwd, fa_bwd, fb_fwd, fb_bwd
+        )
+        res0 = optimize_pair(ca[0], cb[0], points=tracked[0], params=mp)
+        fetch(res0.v)
+        with jax.profiler.trace(os.path.join(args.trace, "warm_scan")):
+            vs, _it = _jitted_frame_scan(mp, vp, (h, w))(
+                ca[1:], cb[1:], res0.v, tracked[1:], fa_fwd, fb_fwd
+            )
+            fetch(vs)
+        fields = jnp.concatenate([res0.v[None], vs], 0)
+        bulges = _jitted_bulges(sp)(fields)
+        conf_a = _clip_confidences(fa_fwd, fa_bwd, t_len, vp)
+        conf_b = _clip_confidences(fb_fwd, fb_bwd, t_len, vp)
+        fetch(bulges); fetch(conf_a); fetch(conf_b)
+        times = jnp.linspace(0.0, 1.0, t_len, dtype=ca.dtype)
+        with jax.profiler.trace(os.path.join(args.trace, "render")):
+            frames = _jitted_video_render(sp)(
+                ca, cb, fields, bulges, times, conf_a, conf_b
+            )
+            fetch(frames[-1])
+        ca3, _ = gen(jnp.int32(int(time.time_ns()) % (1 << 31)))
+        fetch(ca3)  # fresh content: already-flowed clips are result-cached
+        with jax.profiler.trace(os.path.join(args.trace, "flows")):
+            fa3 = flows_fn(ca3)
+            fetch(fa3[0])
+        print("traces written under", args.trace)
     print(json.dumps({
         "metric": "northstar_phases",
         "frames": t_len, "h": h, "w": w,

@@ -182,6 +182,18 @@ class VideoParams:
     # gradient-constancy linearization alone proved too fragile to carry
     # the flow through the pyramid at high gamma); Charbonnier handles
     # occlusions/specular outliers; TV keeps motion boundaries sharp.
+    #
+    # DECISION RULE (measured on the real-footage-class stressor,
+    # utils/stressor.py — moving occluder + motion discontinuity +
+    # lighting drift): keep OFF when the two takes are exposure-matched —
+    # HS tracks the stressor background to <0.5 px EPE with drift=0 and
+    # the flow phase stays ~3x cheaper. Turn ON when the takes have
+    # exposure/lighting drift or hard motion discontinuities: under a 12%
+    # gain drift HS background EPE blows up (6.0 px) and the END-TO-END
+    # morph LOSES to a plain cross-dissolve (mid-frame SSIM 0.883 vs
+    # 0.917) while robust stays at 0.11 px EPE and wins (0.935)
+    # (tests/test_stressor.py; 480p confirmation:
+    # scripts/probe_stressor.py, table in PERF.md).
     flow_robust: bool = False
     flow_alpha_robust: float = 6.0   # smoothness weight in robust mode (the
                                      # TV reweighting changes the effective
