@@ -231,6 +231,31 @@ def test_fused_sample_matches_gather(kind):
     assert _rel(bilinear_sample(i1, c1), s1) < 1e-5
 
 
+@pytest.mark.parametrize("bands", [1, 4, 16, "map"])
+def test_fused_sample_band_count_invariant(bands, monkeypatch):
+    """Dispatch granularity (VMORPH_FALLBACK_BANDS band count, or the
+    VMORPH_SAMPLE_DISPATCH=map per-tile-row path) never changes values: a
+    mixed field (wild stripe inside smooth surroundings) must match the
+    XLA gather at every granularity — finer dispatch routes less of the
+    frame to the fallback but both paths are exact."""
+    from videomorphing_tpu.ops.resample import bilinear_sample
+    from videomorphing_tpu.pallas.warp import fused_sample
+
+    if bands == "map":
+        monkeypatch.setenv("VMORPH_SAMPLE_DISPATCH", "map")
+    else:
+        monkeypatch.setenv("VMORPH_FALLBACK_BANDS", str(bands))
+    h, w = 256, 160  # 4 sampler tile rows
+    i0, _i1, v = _warp_case(h, w, "smooth", seed=7)
+    rng = np.random.default_rng(8)
+    v = np.array(v)  # writable copy (np.asarray of a jnp array is read-only)
+    v[96:128] = 40 * rng.standard_normal((32, w, 2)).astype(np.float32)
+    g = grid_coords(h, w, jnp.float32)
+    coords = g + jnp.asarray(v)
+    (out,) = fused_sample([i0], [coords], interpret=True)
+    assert _rel(bilinear_sample(i0, coords), out) < 1e-5
+
+
 def test_fused_sample_single_2ch():
     """n_imgs=1, C=2 variant (field sampling in the renderer)."""
     from videomorphing_tpu.ops.resample import bilinear_sample

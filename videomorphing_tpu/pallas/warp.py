@@ -37,6 +37,7 @@ Strategy — exploit that the halfway field varies slowly within a tile:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -428,17 +429,28 @@ def _variation_screen(dy, dx, th, tw, d_budget, dx_budget):
 N_FALLBACK_BANDS = 4
 
 
-def _row_bands(gy: int, h: int, th: int, n_bands: int = N_FALLBACK_BANDS):
+def _fallback_bands() -> int:
+    """Band count for fast/fallback dispatch (``VMORPH_FALLBACK_BANDS`` env
+    overrides — an on-chip A/B knob: more bands = finer dispatch, so
+    localized wild regions poison less of the frame, at the price of a
+    bigger compiled program; read at trace time, so set it before jit)."""
+    env = os.environ.get("VMORPH_FALLBACK_BANDS")
+    return int(env) if env else N_FALLBACK_BANDS
+
+
+def _row_bands(gy: int, h: int, th: int, n_bands: int | None = None):
     """Split ``gy`` tile rows into <= n_bands contiguous bands.
 
     Returns [(tile_row_start, tile_row_end, px_row_start, px_row_end)].
     The fast-path/fallback decision is taken PER BAND instead of per frame:
     converged fields typically bust the residual budget in a few localized
-    tiles (measured 19% of tiles at the finest level on a rotational field),
+    tiles (measured 19% of tiles at the finest level on a rotational field;
+    profile_4k round 3: 2.09 s/frame on a busted converged field vs
+    0.14 s/frame on a smooth one — 15x, so dispatch granularity matters),
     and an all-or-nothing dispatch was throwing the whole frame to the XLA
     gather path for them.
     """
-    n = min(n_bands, gy)
+    n = min(n_bands if n_bands is not None else _fallback_bands(), gy)
     bands = []
     for k in range(n):
         t0 = (k * gy) // n
@@ -674,6 +686,13 @@ def fused_sample(srcs, coords, *, interpret=None):
     fits the residual budget, exact-XLA fallback per band otherwise
     (``_row_bands`` — converged render fields bust the budget in localized
     regions, not frame-wide).
+
+    Dispatch granularity (profile_4k round 3: a converged field busted
+    enough scattered tiles to throw ~every band to the gather path —
+    2.09 s/frame vs 0.14 on a smooth field): ``VMORPH_SAMPLE_DISPATCH=map``
+    switches to a ``lax.map`` over single tile rows with the fast/fallback
+    ``cond`` INSIDE the body — per-tile-row granularity at CONSTANT
+    compiled-program size (one shared body instead of N unrolled bands).
     """
     srcs = [s if isinstance(s, WarpSource) else make_warp_source(s) for s in srcs]
     n_imgs = len(srcs)
@@ -685,6 +704,9 @@ def fused_sample(srcs, coords, *, interpret=None):
     c_blk, nc = (C, 1) if C <= 3 else (2, 2)
     interpret = _auto_interpret(interpret)
     gy, gx = _cdiv(h, TH_S), _cdiv(w, TW_S)
+
+    if os.environ.get("VMORPH_SAMPLE_DISPATCH") == "map" and gy > 1:
+        return _fused_sample_map(srcs, coords, c_blk, nc, interpret)
 
     g = grid_coords(h, w, coords[0].dtype)
 
@@ -764,6 +786,99 @@ def fused_sample(srcs, coords, *, interpret=None):
         jnp.concatenate([b[im] for b in band_outs], axis=0)
         for im in range(n_imgs)
     ]
+
+
+def _fused_sample_map(srcs, coords, c_blk: int, nc: int, interpret: bool):
+    """Per-tile-row dispatch body of :func:`fused_sample`
+    (``VMORPH_SAMPLE_DISPATCH=map``).
+
+    One ``lax.map`` over ``gy`` single-tile-row bands; each iteration
+    screens its own row and takes the Pallas kernel or the exact XLA
+    gather. vs the unrolled band loop: the program contains ONE copy of
+    the body (constant compile size at any granularity) and a wild tile
+    row only ever sends ITSELF to the gather path. Sequential over rows,
+    which costs nothing here — a single TPU core runs the band programs
+    sequentially either way. Outputs are bit-identical to the band path
+    (both are exact; tests/test_pallas.py band_count_invariant family).
+    """
+    n_imgs = len(srcs)
+    h, w, C = srcs[0].img.shape
+    gy, gx = _cdiv(h, TH_S), _cdiv(w, TW_S)
+    hp = gy * TH_S
+    g = grid_coords(h, w, coords[0].dtype)
+
+    # pad coords to full tile rows by REPLICATING the last row: identical
+    # rows have zero within-tile variation, so padding never busts a row's
+    # budget, and the padded outputs are cropped off below
+    def pad_rows(co):
+        return jnp.concatenate([co, jnp.repeat(co[-1:], hp - h, axis=0)], 0)
+
+    co_rows = jnp.stack(
+        [pad_rows(co).reshape(gy, TH_S, w, 2) for co in coords], 1
+    )  # (gy, n_imgs, TH_S, w, 2)
+    g_rows = pad_rows(g).reshape(gy, TH_S, w, 2)
+
+    def row_body(xs):
+        cb_all, gb = xs  # (n_imgs, TH_S, w, 2), (TH_S, w, 2)
+        cb = [cb_all[im] for im in range(n_imgs)]
+
+        def _screen(co):
+            y = jnp.clip(co[..., 0], -float(MY), h - 1.0 + MY) - gb[..., 0]
+            x = jnp.clip(co[..., 1], -float(MX), w - 1.0 + MX) - gb[..., 1]
+            return _variation_screen(y, x, TH_S, TW_S, D, DX_SAMPLE)
+
+        tame = _screen(cb[0])
+        for co in cb[1:]:
+            tame = tame & _screen(co)
+
+        def xla_path(_):
+            from videomorphing_tpu.ops.resample import bilinear_sample
+
+            return tuple(
+                bilinear_sample(s.img, co) for s, co in zip(srcs, cb)
+            )
+
+        def pallas_prep_path(_):
+            preps = [
+                _prep_image(
+                    co[..., 0], co[..., 1], h, w, 1, gx,
+                    dx_budget=DX_SAMPLE, th=TH_S, tw=TW_S,
+                )
+                for co in cb
+            ]
+            fits = preps[0][-1]
+            for p_ in preps[1:]:
+                fits = fits & p_[-1]
+
+            def kernel_path(_):
+                call = _sample_call_cached(c_blk, nc, n_imgs, 1, gx, interpret)
+                bases = jnp.stack(
+                    [p_[i] for p_ in preps for i in (6, 7, 8, 9)], axis=-1
+                ).astype(jnp.int32).reshape(1, gx, 4 * n_imgs)
+                idxi = jnp.stack(
+                    [p_[i] for p_ in preps for i in (0, 1)], 0
+                ).astype(jnp.int32)
+                idxf = jnp.stack(
+                    [p_[i] for p_ in preps for i in (2, 3)], 0
+                ).astype(jnp.float32)
+                (out,) = call(bases, *[s.phases for s in srcs], idxi, idxf)
+                out = out[:, :, :TH_S, :w]
+                return tuple(
+                    jnp.moveaxis(
+                        jnp.concatenate(
+                            [out[k, c_blk * im : c_blk * (im + 1)] for k in range(nc)], 0
+                        ),
+                        0, -1,
+                    ).astype(cb[im].dtype)
+                    for im in range(n_imgs)
+                )
+
+            return jax.lax.cond(fits, kernel_path, xla_path, None)
+
+        return jax.lax.cond(tame, pallas_prep_path, xla_path, None)
+
+    outs = jax.lax.map(row_body, (co_rows, g_rows))  # each (gy, TH_S, w, C)
+    return [outs[im].reshape(hp, w, C)[:h] for im in range(n_imgs)]
 
 
 def fused_warp_pair(src0, src1, v, *, interpret=None, prescreen=False):
