@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--drift", type=float, default=0.12)
     ap.add_argument("--threshes", type=float, nargs="*", default=[0.5, 1.0, 2.0])
+    ap.add_argument("--median", action="store_true",
+                    help="relin_median on (the solver's outlier-rejection "
+                    "knob) — lets the same probe decide THAT default too")
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -64,9 +67,11 @@ def main():
     fetch(case.clip_a)
     times = jnp.full((args.frames,), 0.5, jnp.float32)
     mp, sp = MorphParams(), SynthParams()
+    if args.median:
+        mp = dataclasses.replace(mp, relin_median=True)
 
     report = {"h": args.h, "w": args.w, "frames": args.frames,
-              "drift": args.drift, "configs": {}}
+              "drift": args.drift, "median": args.median, "configs": {}}
     for robust in (False, True):
         vp = dataclasses.replace(VideoParams(), flow_robust=robust)
         tag = "robust" if robust else "hs_default"

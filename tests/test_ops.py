@@ -203,3 +203,54 @@ def test_traced_dct_basis_matches_f64_reference():
         ref = _dct_mat_np(n)
         got = np.asarray(_dct_mat(n, jnp.float32))
         assert np.abs(got - ref).max() < 3e-7, n
+
+
+def test_median3x3_matches_numpy():
+    """Paeth's 19-exchange network == np.median over the 9-neighborhood
+    (edge-replicated), per channel."""
+    from videomorphing_tpu.ops.windows import median3x3
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((17, 23, 2)).astype(np.float32)
+    got = np.asarray(median3x3(jnp.asarray(x)))
+    xp = np.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    want = np.stack(
+        [
+            np.median(
+                np.stack(
+                    [xp[dy : dy + 17, dx : dx + 23, c] for dy in range(3) for dx in range(3)],
+                    0,
+                ),
+                0,
+            )
+            for c in range(2)
+        ],
+        -1,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_median3x3_rejects_impulse_keeps_smooth():
+    """An isolated impulse vanishes (the spiked pixel returns to its local
+    ramp value); away from the spike a linear ramp is a fixed point. The
+    spike's 8 neighbors may legally shift by ONE order statistic (the
+    outlier displaces one sample in their window), i.e. by at most one
+    local ramp step — never toward the spike's magnitude."""
+    from videomorphing_tpu.ops.windows import median3x3
+
+    ramp = (jnp.arange(12.0)[:, None] + 2.0 * jnp.arange(9.0)[None, :])[..., None]
+    spiked = ramp.at[5, 4, 0].add(100.0)
+    out = np.asarray(median3x3(spiked))
+    r = np.asarray(ramp)
+    # spike removed: back to within one ramp step of the true value
+    assert abs(out[5, 4, 0] - r[5, 4, 0]) <= 2.0 + 1e-6
+    # neighbors move at most one step; the rest of the INTERIOR is exact
+    # (the 1-px border ring legally shifts: edge replication biases the
+    # window's order statistics on a ramp — which is why the solver holds
+    # the locked boundary components out of the filter via bmask)
+    err = np.abs(out - r)
+    assert err[4:7, 3:6].max() <= 2.0 + 1e-6
+    mask = np.zeros_like(err, bool)
+    mask[1:-1, 1:-1] = True
+    mask[4:7, 3:6] = False
+    np.testing.assert_allclose(err[mask], 0.0, atol=1e-6)

@@ -172,3 +172,47 @@ class TestEndToEnd:
         cold = optimize_pair(i0, i1, params=p)
         warm = optimize_pair(i0, i1, params=p, v0=cold.v)
         assert len(warm.level_stats) < len(cold.level_stats)
+
+
+class TestRelinMedian:
+    def test_rejects_planted_mislock_and_keeps_boundary(self, rng):
+        """config.relin_median: a salt-and-pepper impulse planted in an
+        otherwise-good field is removed at the first re-linearization
+        (Sun-Roth-Black outlier rejection), the locked boundary components
+        stay exactly locked, and energy still only decreases."""
+        from videomorphing_tpu.solver.descent import make_level_solver
+
+        h, w = 48, 48
+        img = _smooth_image(rng, h, w)
+        data = make_level_data(img, img)  # identical pair: true v == 0
+        v0 = jnp.zeros((h, w, 2), jnp.float32)
+        v0 = v0.at[20, 20].set(jnp.asarray([9.0, -9.0]))  # planted mislock
+        p = MorphParams(relin_median=True, relin_every=2, backend="jnp")
+        solve = jax.jit(make_level_solver(p, n_iters=6))
+        v_f, stats = solve(v0, data)
+        v_f = np.asarray(v_f)
+        # the impulse is gone (descent alone at this scale cannot undo a
+        # 9 px spike in 6 iterations; the median can and does)
+        assert np.abs(v_f[20, 20]).max() < 1.0, v_f[20, 20]
+        # boundary lock survives the filter: vy on top/bottom, vx on sides
+        assert np.abs(v_f[0, :, 0]).max() == 0.0
+        assert np.abs(v_f[-1, :, 0]).max() == 0.0
+        assert np.abs(v_f[:, 0, 1]).max() == 0.0
+        assert np.abs(v_f[:, -1, 1]).max() == 0.0
+        assert float(stats.e_final) <= float(stats.e0) + 1e-7
+
+    def test_off_by_default_identical(self, rng):
+        """relin_median=False is the exact shipped behavior (the flag's
+        default path adds no ops)."""
+        from videomorphing_tpu.solver.descent import make_level_solver
+
+        h, w = 32, 32
+        i0 = _smooth_image(rng, h, w)
+        i1 = _smooth_image(rng, h, w)
+        data = make_level_data(i0, i1)
+        v0 = jnp.zeros((h, w, 2), jnp.float32)
+        p0 = MorphParams(backend="jnp")
+        p1 = MorphParams(backend="jnp", relin_median=False)
+        a, _ = jax.jit(make_level_solver(p0, n_iters=5))(v0, data)
+        b, _ = jax.jit(make_level_solver(p1, n_iters=5))(v0, data)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -116,6 +116,19 @@ class MorphParams:
     # (TODO.md perf ledger); exactness is unaffected either way — the
     # precise ``fits`` check remains the backstop.
     warp_prescreen: bool = False
+    # Median-filter the field (3x3, per component) at each re-linearization
+    # — the Sun-Roth-Black "secrets of optical flow" heuristic: equivalent
+    # to optimizing a robustified energy, it rejects the salt-and-pepper
+    # SSIM mislocks that descent cannot escape (scripts/diag_wild.py:
+    # p99.9 field error 10.9 px at 768p on quasi-periodic texture, NOT
+    # fixed by 2x iterations — it is the energy landscape, not
+    # under-convergence). Those mislocks are also what busts the fused
+    # warp/sampler kernels' per-tile residual budgets (17-28% of 4K tiles
+    # -> the render runs ~all-gather, 15x slower; PERF.md round 3), so
+    # this is a quality AND throughput knob. Locked boundary components
+    # are excluded from the filter; pure elementwise min/max network
+    # (ops/windows.py median3x3) at relin cadence, so its cost is noise.
+    relin_median: bool = False
 
     def iters_for_level(self, level: int, n_levels: int) -> int:
         """Iteration budget per level; geometric from coarse to fine.

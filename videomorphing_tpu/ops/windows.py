@@ -100,3 +100,32 @@ def box_filter(x: jnp.ndarray, size: int, mode: str = "same_zero") -> jnp.ndarra
     """Separable box filter (windowed mean)."""
     k = jnp.full((size,), 1.0 / size, dtype=x.dtype if x.dtype != jnp.uint8 else jnp.float32)
     return separable_filter(x, k, k, mode=mode)
+
+
+def median3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel 3x3 median of (H, W, C), edge-replicated borders.
+
+    Implemented as Paeth's 19-compare-exchange median-of-9 network — pure
+    elementwise min/max, so XLA fuses the whole filter into one VPU pass
+    (no (9, H, W, C) stack and no sort: at 4K that stack alone would be
+    ~2.4 GB of HBM traffic). Used by the solver's ``relin_median`` outlier
+    rejection (config.MorphParams), the Sun-Roth-Black "secrets" heuristic:
+    median-filtering the field at each warp update implicitly optimizes a
+    robustified energy and removes salt-and-pepper mislocks.
+    """
+    p = jnp.pad(x, ((1, 1), (1, 1)) + ((0, 0),) * (x.ndim - 2), mode="edge")
+    h, w = x.shape[0], x.shape[1]
+    n = [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+
+    def ex(i, j):
+        lo = jnp.minimum(n[i], n[j])
+        n[j] = jnp.maximum(n[i], n[j])
+        n[i] = lo
+
+    for i, j in (
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ):
+        ex(i, j)
+    return n[4]

@@ -475,8 +475,21 @@ def make_level_solver(p: MorphParams, n_iters: int):
 
         def outer_body(state):
             it0 = state[4]
+            v_blk = state[0]
+            if p.relin_median:
+                # Sun-Roth-Black outlier rejection at the warp update: 3x3
+                # per-component median of the field before re-linearizing
+                # (config.relin_median). Locked boundary components are
+                # held (bmask); skipped at it0 == 0 so st0 stays the state
+                # of the INITIAL field. Energy bookkeeping needs no fixup:
+                # body_iter re-evaluates e_cur from (st_, v_) anyway.
+                from videomorphing_tpu.ops.windows import median3x3
+
+                v_med = v_blk + (median3x3(v_blk) - v_blk) * bmask
+                v_blk = jnp.where(it0 > 0, v_med, v_blk)
+                state = (v_blk,) + state[1:]
             st_ = jax.lax.cond(
-                it0 > 0, lambda: make_state(state[0]), lambda: st0
+                it0 > 0, lambda: make_state(v_blk), lambda: st0
             )
 
             def inner_cond(s):
