@@ -93,6 +93,8 @@ def main():
     ap.add_argument("--w", type=int, default=3840)
     ap.add_argument("--trace", default=None)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--median", action="store_true",
+                    help="relin_median: 3x3 field median at each relin")
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -104,6 +106,10 @@ def main():
     print(f"pair ready {h}x{w}, |v_true| max={fetch(jnp.max(jnp.abs(v_true))):.1f}")
 
     mp = MorphParams()
+    if args.median:
+        import dataclasses
+
+        mp = dataclasses.replace(mp, relin_median=True)
     n_levels = auto_n_levels(h, w, mp.min_level_size)
     print("n_levels:", n_levels)
 

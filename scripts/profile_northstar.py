@@ -53,6 +53,8 @@ def main():
                     help="directory: capture per-phase jax.profiler traces "
                     "(warm_scan + render, the two largest phases) for "
                     "scripts/trace_summary.py")
+    ap.add_argument("--median", action="store_true",
+                    help="relin_median: 3x3 field median at each relin")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -61,6 +63,10 @@ def main():
     enable_compile_cache()
     print("backend:", jax.default_backend(), jax.devices())
     mp, sp, vp = MorphParams(), SynthParams(), VideoParams()
+    if args.median:
+        import dataclasses
+
+        mp = dataclasses.replace(mp, relin_median=True)
     gen = jax.jit(lambda s: _make_clips_device(t_len, h, w, s))
 
     def phases(seed):

@@ -113,6 +113,24 @@ class TestOcclusion:
         conf = occlusion_confidence(f, f, VideoParams())  # round trip = 6px
         assert float(conf.mean()) < 0.15
 
+    def test_fused_path_matches_gather_path(self, rng):
+        """The TPU default routes the round-trip lookup through the Pallas
+        fused sampler (config.fused_occlusion); forced on here (interpret
+        mode off-TPU) it must match the plain-gather path to float
+        tolerance on a realistic smooth-but-wiggly flow pair."""
+        h, w = 72, 132  # off tile multiples: exercises the padded tail
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        fwd = np.stack(
+            [1.5 * np.sin(xx / 17.0) + 0.3, 2.0 * np.cos(yy / 23.0)], -1
+        ) + rng.standard_normal((h, w, 2)).astype(np.float32) * 0.05
+        bwd = -np.stack(
+            [1.5 * np.sin(xx / 19.0), 2.0 * np.cos(yy / 13.0) - 0.2], -1
+        )
+        fwd, bwd = jnp.asarray(fwd), jnp.asarray(bwd)
+        ref = occlusion_confidence(fwd, bwd, VideoParams(), use_fused=False)
+        got = occlusion_confidence(fwd, bwd, VideoParams(), use_fused=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
 
 class TestTemporal:
     def test_splat_roundtrip(self, rng):

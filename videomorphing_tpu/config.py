@@ -230,6 +230,17 @@ class VideoParams:
     # occlusion detection [EGSR14 s5]
     occlusion_thresh: float = 1.0    # fwd/bwd inconsistency threshold (px)
     occlusion_soft: float = 0.5      # softness of the occlusion sigmoid
+    # Route the round-trip lookup bwd(p + fwd(p)) through the Pallas fused
+    # sampler on TPU (exact twin of the XLA gather path, which cost 9.7 s
+    # of the 34.2 s north star — PERF.md round 3). Off = plain gather.
+    fused_occlusion: bool = True
+    # Same routing for the advection inversion's six samples per warm
+    # frame (temporal.advect_halfway_field) — the warm scan's gather tax.
+    fused_advect: bool = True
+    # Same routing for the flow solver's one warp-update gather per outer
+    # iteration (video/flow.py _warp_gray); tiny pyramid levels stay on
+    # the plain gather either way.
+    fused_flow: bool = True
 
     # temporal propagation [EGSR14 s4]
     propagate: bool = True
@@ -286,6 +297,9 @@ def exact_configs() -> Tuple[MorphParams, SynthParams, VideoParams]:
         advect_scale=1.0,         # full-resolution advection inversion
         warm_iters_mid=30,
         warm_iters_fine=20,
+        fused_occlusion=False,    # plain-gather twins of the fused samples
+        fused_advect=False,
+        fused_flow=False,
     )
     return mp, sp, vp
 

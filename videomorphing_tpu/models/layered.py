@@ -115,7 +115,12 @@ def _warp_layer(
         v, b, t, sp.invert_iters, multiscale=sp.invert_multiscale,
         use_fused=sp.fused_sampling,  # honor the documented escape hatch
     )
-    v_at_p = bilinear_sample(v, p)
+    if sp.fused_sampling and jax.default_backend() == "tpu":
+        from videomorphing_tpu.pallas.warp import fused_sample
+
+        (v_at_p,) = fused_sample([v], [p])
+    else:
+        v_at_p = bilinear_sample(v, p)
     phi0 = p - v_at_p
     phi1 = p + v_at_p
 

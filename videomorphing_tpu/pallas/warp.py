@@ -414,8 +414,12 @@ def _variation_screen(dy, dx, th, tw, d_budget, dx_budget):
     :func:`_prep_image`'s full per-tile min/max machinery — used to skip
     straight to the XLA path on wild bands without paying the prep.
     Conservative: a False here does NOT imply the exact ``fits`` check
-    would fail, so screening trades fast-path coverage for prep savings
-    (config ``warp_prescreen``; the sampler always screens).
+    would fail, so screening trades fast-path coverage for prep savings.
+    Opt-in everywhere and OFF by default — ``warp_prescreen`` config for
+    the warp (measured -1% on chip), ``VMORPH_SAMPLE_PRESCREEN`` env for
+    the sampler (:func:`_sample_prescreen`: the band-wide max-row-diff
+    bound misreads ~0.5 px solver noise as wildness and was locking
+    every realistic converged-field render out of the fast path).
     """
     dy_r = jnp.max(jnp.abs(jnp.diff(dy, axis=0)))
     dy_c = jnp.max(jnp.abs(jnp.diff(dy, axis=1)))
@@ -424,6 +428,21 @@ def _variation_screen(dy, dx, th, tw, d_budget, dx_budget):
     ok_r = th * dy_r + tw * dy_c <= d_budget - 2
     ok_c = th * dx_r + tw * dx_c <= dx_budget - 2
     return ok_r & ok_c
+
+
+def _sample_prescreen() -> bool:
+    """Variation pre-screen in :func:`fused_sample` (``VMORPH_SAMPLE_PRESCREEN=1``
+    restores it; default OFF). The screen bounds a tile's residual spread by
+    ``th * max|row-diff|`` over the whole band, so ~0.5 px of SOLVER NOISE
+    anywhere inflates to ``64 * 0.5 = 32`` ≫ budget and throws the band to
+    the XLA gather even though the exact per-tile check passes — measured
+    on the 4K converged field (relin_median on, exact busted tiles 0.3%):
+    2.28 s/frame with the screen vs the smooth-field 0.14 s/frame floor.
+    The exact ``_prep_image`` fits-check costs two reduction passes over
+    the coord maps (~ms at 4K) — three orders cheaper than one wrongly
+    screened-out frame, so the default pays prep always and lets the exact
+    check dispatch."""
+    return os.environ.get("VMORPH_SAMPLE_PRESCREEN", "0") not in ("", "0", "false")
 
 
 N_FALLBACK_BANDS = 4
@@ -729,10 +748,6 @@ def fused_sample(srcs, coords, *, interpret=None):
             x = jnp.clip(co[..., 1], -float(MX), w - 1.0 + MX) - gb[..., 1]
             return _variation_screen(y, x, TH_S, TW_S, D, DX_SAMPLE)
 
-        tame = _screen(cb[0])
-        for co in cb[1:]:
-            tame = tame & _screen(co)
-
         def xla_path(_, cb=cb):
             from videomorphing_tpu.ops.resample import bilinear_sample
 
@@ -775,10 +790,15 @@ def fused_sample(srcs, coords, *, interpret=None):
                     for im in range(n_imgs)
                 )
 
-            # the screen is sufficient, but keep the exact check as a backstop
             return jax.lax.cond(fits, kernel_path, xla_path, None)
 
-        band_outs.append(jax.lax.cond(tame, pallas_prep_path, xla_path, None))
+        if _sample_prescreen():
+            tame = _screen(cb[0])
+            for co in cb[1:]:
+                tame = tame & _screen(co)
+            band_outs.append(jax.lax.cond(tame, pallas_prep_path, xla_path, None))
+        else:
+            band_outs.append(pallas_prep_path(None))
 
     if len(band_outs) == 1:
         return list(band_outs[0])
@@ -827,10 +847,6 @@ def _fused_sample_map(srcs, coords, c_blk: int, nc: int, interpret: bool):
             x = jnp.clip(co[..., 1], -float(MX), w - 1.0 + MX) - gb[..., 1]
             return _variation_screen(y, x, TH_S, TW_S, D, DX_SAMPLE)
 
-        tame = _screen(cb[0])
-        for co in cb[1:]:
-            tame = tame & _screen(co)
-
         def xla_path(_):
             from videomorphing_tpu.ops.resample import bilinear_sample
 
@@ -875,7 +891,12 @@ def _fused_sample_map(srcs, coords, c_blk: int, nc: int, interpret: bool):
 
             return jax.lax.cond(fits, kernel_path, xla_path, None)
 
-        return jax.lax.cond(tame, pallas_prep_path, xla_path, None)
+        if _sample_prescreen():
+            tame = _screen(cb[0])
+            for co in cb[1:]:
+                tame = tame & _screen(co)
+            return jax.lax.cond(tame, pallas_prep_path, xla_path, None)
+        return pallas_prep_path(None)
 
     outs = jax.lax.map(row_body, (co_rows, g_rows))  # each (gy, TH_S, w, C)
     return [outs[im].reshape(hp, w, C)[:h] for im in range(n_imgs)]

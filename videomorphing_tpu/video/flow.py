@@ -51,6 +51,27 @@ def _gray(img: jnp.ndarray, vp: VideoParams | None = None) -> jnp.ndarray:
     return g
 
 
+def _warp_gray(b: jnp.ndarray, coords: jnp.ndarray, vp: VideoParams) -> jnp.ndarray:
+    """Sample the grayscale target at the warped coordinates.
+
+    The one gather per warp iteration — at the finest flow level this is
+    the flow phase's hottest op (gathers are index-count bound; the flow
+    phase was 4.7 s of the 34.2 s north star). On TPU it rides the fused
+    Pallas sampler (exact twin); tiny pyramid levels stay on the plain
+    gather where kernel launch overhead would dominate.
+    """
+    if (
+        vp.fused_flow
+        and min(b.shape[0], b.shape[1]) >= 128
+        and jax.default_backend() == "tpu"
+    ):
+        from videomorphing_tpu.pallas.warp import fused_sample
+
+        (bw,) = fused_sample([b[..., None]], [coords])
+        return bw[..., 0]
+    return bilinear_sample(b, coords)
+
+
 def _shifts(f):
     """Edge-replicated 4-neighborhood of a (H, W[, C]) array: up/down/left/right."""
     up = jnp.concatenate([f[:1], f[:-1]], 0)
@@ -86,7 +107,7 @@ def _hs_level(a: jnp.ndarray, b: jnp.ndarray, u: jnp.ndarray, vp: VideoParams) -
 
     for _ in range(vp.flow_warps):
         u_w = u  # linearization point of this warp
-        bw = bilinear_sample(b, g + u_w)
+        bw = _warp_gray(b, g + u_w, vp)
         it = bw - a
         # derivatives of the warped target (standard HS linearization)
         iy, ix = _deriv(bw)
@@ -141,7 +162,7 @@ def _robust_level(a: jnp.ndarray, b: jnp.ndarray, u: jnp.ndarray, vp: VideoParam
 
     for _ in range(vp.flow_warps):
         u_w = u
-        bw = bilinear_sample(b, g + u_w)
+        bw = _warp_gray(b, g + u_w, vp)
         bwy, bwx = _deriv(bw)
         # second derivatives of the warped target, for linearizing the
         # gradient-constancy residuals

@@ -274,7 +274,14 @@ def _jitted_track(t_len: int, key_idx: Tuple[int, ...], mp: MorphParams, vp: Vid
 @functools.lru_cache(maxsize=None)
 def _jitted_confidences(vp: VideoParams):
     def run(fwd, bwd):
-        conf_mid = jax.vmap(lambda f, b: occlusion_confidence(f, b, vp))(fwd, bwd)
+        # lax.map, NOT vmap: occlusion_confidence rides the fused sampler
+        # on TPU, whose per-band fast/fallback lax.conds a vmap would
+        # flatten into run-both-branches selects (the same regression the
+        # renderer hit — synth/render.py lax.map note). Sequential over
+        # frames also keeps peak memory single-frame.
+        conf_mid = jax.lax.map(
+            lambda fb: occlusion_confidence(fb[0], fb[1], vp), (fwd, bwd)
+        )
         # last frame: reuse the final pair's reverse direction
         conf_last = occlusion_confidence(bwd[-1], fwd[-1], vp)[None]
         return jnp.concatenate([conf_mid, conf_last], axis=0)

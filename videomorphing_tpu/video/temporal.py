@@ -122,19 +122,42 @@ def advect_halfway_field(
     g = grid_coords(h, w, dtype=v_prev.dtype)
     x0 = g - v_prev
     x1 = g + v_prev
-    fa = bilinear_sample(flow_a, x0)
-    fb = bilinear_sample(flow_b, x1)
+    # All six samples here read SMOOTH 2-channel planes (flows, the mean
+    # shift, the carried field) at smooth coordinate maps — the fused
+    # sampler's contract — and the XLA gather they replace was, with the
+    # occlusion round-trip, the warm scan's hidden tax: gathers are
+    # index-count bound on this hardware (~0.17 s per 1080p 2-ch gather,
+    # scripts/profile_northstar.py round 3). Exact twin either way
+    # (fused_sample falls back to bilinear_sample per band).
+    use_fused = vp.fused_advect and jax.default_backend() == "tpu"
+    if use_fused:
+        from videomorphing_tpu.pallas.warp import fused_sample
+
+        fa, fb = fused_sample([flow_a, flow_b], [x0, x1])
+    else:
+        fa = bilinear_sample(flow_a, x0)
+        fb = bilinear_sample(flow_b, x1)
     # per-source-point halfway-point displacement and carried new vector
     shift = 0.5 * (fa + fb)            # s(p) = p' - p
     u = v_prev + 0.5 * (fb - fa)       # v'(p') as a function of p
 
+    if use_fused:
+        from videomorphing_tpu.pallas.warp import fused_sample, make_warp_source
+
+        src_shift = make_warp_source(shift)
+        sample_shift = lambda p_: fused_sample([src_shift], [p_])[0]
+        sample_u = lambda p_: fused_sample([u], [p_])[0]
+    else:
+        sample_shift = lambda p_: bilinear_sample(shift, p_)
+        sample_u = lambda p_: bilinear_sample(u, p_)
+
     p = g - shift                      # first guess: s varies slowly
     delta = jnp.zeros((h, w), v_prev.dtype)
     for _ in range(max(int(vp.advect_invert_iters), 1)):
-        p_new = g - bilinear_sample(shift, p)
+        p_new = g - sample_shift(p)
         delta = jnp.linalg.norm(p_new - p, axis=-1)
         p = p_new
-    tc_v = bilinear_sample(u, p)
+    tc_v = sample_u(p)
 
     inside = (
         (p[..., 0] >= 0.0) & (p[..., 0] <= h - 1.0)
