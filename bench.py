@@ -257,7 +257,8 @@ def run_bench(t_len: int, h: int, w: int, repeats: int = 3):
     # warmup: compiles every shape involved (same shapes as the timed run)
     res = once(0)
     # total optimizer iterations (constant across reps up to tol-stopping
-    # noise; None on the blocked multi-device path) -> iters/sec/Mpixel
+    # noise; the blocked multi-device path psums per-block counts)
+    # -> iters/sec/Mpixel
     iters = None if res.solve_iters is None else int(res.solve_iters)
 
     walls = []

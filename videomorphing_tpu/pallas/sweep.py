@@ -291,18 +291,24 @@ def _sweep_geometry(p: MorphParams, h: int, w: int):
 
 
 def _build_grad_call(
-    C: int, h: int, w: int, p: MorphParams, interpret: bool, split: bool = False
+    C: int, h: int, w: int, p: MorphParams, interpret: bool, split: bool = False,
+    npix_global: int = 0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     taps, r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
-    npix = h * w
+    # npix_global: the row-sharded solver (parallel/spatial.py) evaluates on
+    # a LOCAL (bh, w) block but must normalize every gradient/preconditioner
+    # term by the GLOBAL pixel count so the psum'd line search sees the
+    # global energy's gradient; 0 = single-device (npix = h*w).
+    npix = npix_global or (h * w)
     lam_n = p.lambda_tps / npix
-    P = 6 * C + 10
+    P = 6 * C + 11
     i_w0, i_w1, i_dw0, i_dw1 = 0, C, 2 * C, 4 * C
-    i_v, i_uiw, i_uiv, i_tcw, i_tcv, i_invn, i_mask = (
-        6 * C, 6 * C + 2, 6 * C + 3, 6 * C + 5, 6 * C + 6, 6 * C + 8, 6 * C + 9
+    i_v, i_uiw, i_uiv, i_tcw, i_tcv, i_invn, i_mask, i_ew = (
+        6 * C, 6 * C + 2, 6 * C + 3, 6 * C + 5, 6 * C + 6, 6 * C + 8, 6 * C + 9,
+        6 * C + 10,
     )
     shift, crop = _mk_slicers(th, tw)
     hh, ww = th + 2 * halo, tw + 2 * halo
@@ -361,7 +367,12 @@ def _build_grad_call(
 
         hs = halo - r  # halo level of the window statistics
         inv2 = crop(X(i_invn), halo, hs)
-        m0 = crop(X(i_mask), halo, 0)
+        # energy-accounting weight: equals the domain mask on a single
+        # device; on a row shard it is the interior-crop indicator so halo
+        # rows (owned by the neighbor shard) are not double-counted in the
+        # psum'd partial sums, while the domain MASK (X(i_mask)) stays the
+        # global-validity plane the TPS stencils need
+        ew0 = crop(X(i_ew), halo, 0)
         scale = -1.0 / (npix * C)
 
         def ar(a):  # stats level -> transpose-conv input level (halo r)
@@ -404,7 +415,7 @@ def _build_grad_call(
             curv_y += (crop(d0y, halo, r) ** 2 + crop(d1y, halo, r) ** 2) * ib2
             curv_x += (crop(d0x, halo, r) ** 2 + crop(d1x, halo, r) ** 2) * ib2
 
-            e_sim += jnp.sum((1.0 - crop(st["s"], hs, 0)) * m0)
+            e_sim += jnp.sum((1.0 - crop(st["s"], hs, 0)) * ew0)
 
         pc_y = (2.0 / (npix * C)) * _wsum_tile(curv_y, taps)
         pc_x = (2.0 / (npix * C)) * _wsum_tile(curv_x, taps)
@@ -427,9 +438,9 @@ def _build_grad_call(
             gq = (2.0 * p.gamma_ui / npix) * ui_w * dv_ui + (2.0 * p.beta_tc / npix) * tc_w * dv_tc
             gs = gs_y if k == 0 else gs_x
             g_yx.append(gs + lam_n * gt + gq)
-            e_tps += jnp.sum(et_map)
-            e_ui += jnp.sum(ui_w * dv_ui * dv_ui)
-            e_tc += jnp.sum(tc_w * dv_tc * dv_tc)
+            e_tps += jnp.sum(et_map * ew0)
+            e_ui += jnp.sum(ew0 * ui_w * dv_ui * dv_ui)
+            e_tc += jnp.sum(ew0 * tc_w * dv_tc * dv_tc)
 
         def put(q, val):
             if ow > tw:
@@ -459,7 +470,7 @@ def _build_grad_call(
         scratch = [
             pltpu.VMEM((6 * C, hh, ww), _pack_dtype(p)),   # warp planes
             pltpu.VMEM((2, hh, ww), jnp.float32),          # v_lin
-            pltpu.VMEM((8, hh, ww), _pack_dtype(p)),       # const planes
+            pltpu.VMEM((9, hh, ww), _pack_dtype(p)),       # const planes
             pltpu.VMEM((2, hh, ww), jnp.float32),          # per-call v
             pltpu.SemaphoreType.DMA,
         ]
@@ -489,7 +500,8 @@ def _build_grad_call(
 
 
 def _build_energy_call(
-    C: int, h: int, w: int, p: MorphParams, interpret: bool, split: bool = False
+    C: int, h: int, w: int, p: MorphParams, interpret: bool, split: bool = False,
+    npix_global: int = 0,
 ):
     """Line-search energy kernel over the SAME static pack as the grad
     kernel (same geometry, same plane layout): per trial only the 2 v
@@ -498,11 +510,12 @@ def _build_energy_call(
     from jax.experimental.pallas import tpu as pltpu
 
     taps, r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
-    npix = h * w
-    P = 6 * C + 10
+    npix = npix_global or (h * w)
+    P = 6 * C + 11
     i_w0, i_w1, i_dw0, i_dw1 = 0, C, 2 * C, 4 * C
-    i_v, i_uiw, i_uiv, i_tcw, i_tcv, i_invn, i_mask = (
-        6 * C, 6 * C + 2, 6 * C + 3, 6 * C + 5, 6 * C + 6, 6 * C + 8, 6 * C + 9
+    i_v, i_uiw, i_uiv, i_tcw, i_tcv, i_invn, i_mask, i_ew = (
+        6 * C, 6 * C + 2, 6 * C + 3, 6 * C + 5, 6 * C + 6, 6 * C + 8, 6 * C + 9,
+        6 * C + 10,
     )
     shift, crop = _mk_slicers(th, tw)
     hh, ww = th + 2 * halo, tw + 2 * halo
@@ -547,7 +560,7 @@ def _build_energy_call(
         dvx = xvt[1] - X(i_v + 1)
 
         inv0 = crop(X(i_invn), halo, halo - r)  # stats: halo -> halo - r
-        m0 = crop(X(i_mask), halo, 0)
+        ew0 = crop(X(i_ew), halo, 0)  # energy-accounting weight (see grad)
 
         e_sim = jnp.float32(0.0)
         for c in range(C):
@@ -557,7 +570,7 @@ def _build_energy_call(
                 a0, a1, inv0, taps,
                 p.ssim_c1, p.ssim_c2, p.ssim_use_luminance,
             )
-            e_sim += jnp.sum((1.0 - crop(st["s"], halo - r, 0)) * m0)
+            e_sim += jnp.sum((1.0 - crop(st["s"], halo - r, 0)) * ew0)
 
         ui_w = crop(X(i_uiw), halo, 0)
         tc_w = crop(X(i_tcw), halo, 0)
@@ -572,9 +585,9 @@ def _build_energy_call(
             v0 = crop(V, halo, 0)
             dv_ui = v0 - crop(X(i_uiv + k), halo, 0)
             dv_tc = v0 - crop(X(i_tcv + k), halo, 0)
-            e_tps += jnp.sum(et_map)
-            e_ui += jnp.sum(ui_w * dv_ui * dv_ui)
-            e_tc += jnp.sum(tc_w * dv_tc * dv_tc)
+            e_tps += jnp.sum(et_map * ew0)
+            e_ui += jnp.sum(ew0 * ui_w * dv_ui * dv_ui)
+            e_tc += jnp.sum(ew0 * tc_w * dv_tc * dv_tc)
 
         @pl.when((i == 0) & (j == 0))
         def _init():
@@ -591,7 +604,7 @@ def _build_energy_call(
         scratch = [
             pltpu.VMEM((6 * C, hh, ww), _pack_dtype(p)),
             pltpu.VMEM((2, hh, ww), jnp.float32),
-            pltpu.VMEM((8, hh, ww), _pack_dtype(p)),
+            pltpu.VMEM((9, hh, ww), _pack_dtype(p)),
             pltpu.VMEM((2, hh, ww), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ]
@@ -657,7 +670,10 @@ def make_sweep_pack(
         for c in range(C):
             planes += [src[..., c, 0], src[..., c, 1]]
     planes += _common_planes(v_lin, data)
-    planes += [_invn_plane(h, w, p, v_lin.dtype), jnp.ones((h, w), v_lin.dtype)]
+    ones = jnp.ones((h, w), v_lin.dtype)
+    # mask + energy-accounting weight: identical (the padded-ones domain
+    # indicator) on a single device; they differ only on row shards
+    planes += [_invn_plane(h, w, p, v_lin.dtype), ones, ones]
     dt = _pack_dtype(p)
     return _pack([pl_.astype(dt) for pl_ in planes], gy, gx, th, tw, halo)
 
@@ -670,8 +686,9 @@ def make_sweep_pack_planes(
     the channel-major round trip of the bundle API."""
     h, w = v_lin.shape[0], v_lin.shape[1]
     _taps_, _r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
+    ones = jnp.ones((h, w), v_lin.dtype)
     common = _common_planes(v_lin, data) + [
-        _invn_plane(h, w, p, v_lin.dtype), jnp.ones((h, w), v_lin.dtype)
+        _invn_plane(h, w, p, v_lin.dtype), ones, ones
     ]
     planes = [warp_planes[k] for k in range(warp_planes.shape[0])] + common
     dt = _pack_dtype(p)
@@ -685,10 +702,11 @@ def make_const_pack(data: LevelData, p: MorphParams) -> jnp.ndarray:
     h, w, _C = data.i0.shape
     _taps_, _r, halo, th, tw, gy, gx = _sweep_geometry(p, h, w)
     dtype = jnp.float32
+    ones = jnp.ones((h, w), dtype)
     planes = [
         data.ui_w[..., 0], data.ui_v[..., 0], data.ui_v[..., 1],
         data.tc_w[..., 0], data.tc_v[..., 0], data.tc_v[..., 1],
-        _invn_plane(h, w, p, dtype), jnp.ones((h, w), dtype),
+        _invn_plane(h, w, p, dtype), ones, ones,
     ]
     dt = _pack_dtype(p)
     return _pack([pl_.astype(dt) for pl_ in planes], gy, gx, th, tw, halo)
@@ -820,3 +838,136 @@ def fused_total_energy(v, data: LevelData, p: MorphParams, *, interpret=None):
     w0 = bilinear_sample(data.i0, g - v)
     w1 = bilinear_sample(data.i1, g + v)
     return fused_total_energy_planes(w0, w1, v, data, p, interpret=interpret)
+
+
+# ----------------------------------------------------------------------------
+# row-shard entry points (the spatially sharded solver, parallel/spatial.py)
+# ----------------------------------------------------------------------------
+#
+# Same kernels, different pack construction: each device evaluates its own
+# (bh, w) row block, but the pack's halo ring is SLICED from the real
+# neighbor rows (the ppermute halo exchange) instead of zero-padded, so the
+# interior gradient equals the global one; the ``ew`` plane confines the
+# energy partial sums to the device's own rows (psum'd by the caller), and
+# ``npix_global`` makes every normalization constant global. The kernels
+# themselves are untouched — SP inherits the single-device fused sweep
+# (SURVEY.md section 8 stage 4; VERDICT round 3 missing #2).
+
+
+def sweep_row_halo(p: MorphParams) -> int:
+    """Rows of REAL neighbor data the shard pack needs above/below the
+    block: stats reach r + transpose-conv r (rounded for DMA alignment).
+    Always <= the spatial solver's exchange halo (2r + 2)."""
+    r = (int(p.ssim_window) - 1) // 2
+    return _round_up(2 * r, 4)
+
+
+def _pack_shard(planes, row_halo: int, gy, gx, th, tw, halo):
+    """:func:`_pack` for an extended row block.
+
+    ``planes``: (bh + 2*row_halo, W) arrays whose rows [row_halo,
+    row_halo + bh) are the device's interior and the rest real neighbor
+    rows (zeros beyond the global domain — halo_exchange_rows semantics).
+    Requires ``row_halo >= halo``. Columns are true domain edges and pad
+    with zeros exactly like :func:`_pack`.
+    """
+    he, w = planes[0].shape
+    assert row_halo >= halo, (row_halo, halo)
+    x = jnp.stack(planes, 0)
+    x = x[:, row_halo - halo :, :]
+    rows = halo + gy * th + halo
+    x = x[:, :rows]
+    x = jnp.pad(
+        x, ((0, 0), (0, rows - x.shape[1]), (halo, gx * tw - w + halo))
+    )
+    if gx > 1:
+        cg = tw + 2 * halo
+        x = jnp.concatenate([x[:, :, i * tw : i * tw + cg] for i in range(gx)], axis=2)
+    return x
+
+
+def make_sweep_pack_shard(
+    w0, dw0, w1, dw1, v_lin_ext,
+    ui_w, ui_v, tc_w, tc_v,
+    invn_ext, mask_ext, ew_ext,
+    p: MorphParams, row_halo: int,
+) -> jnp.ndarray:
+    """Static pack for one row shard.
+
+    ``w0/w1`` (He, W, C), ``dw0/dw1`` (He, W, C, 2), ``v_lin_ext`` (He, W, 2)
+    live on the EXTENDED block (He = bh + 2*row_halo) and must already be
+    zeroed on out-of-domain rows; ``ui_*/tc_*`` are interior (bh, W, .)
+    maps (their halo values never reach an interior output — zero-extended
+    here); ``invn_ext``/``mask_ext``/``ew_ext`` are (He, W) planes the
+    caller builds from GLOBAL row coordinates.
+    """
+    he, w, C = w0.shape
+    bh = he - 2 * row_halo
+    _taps_, _r, halo, th, tw, gy, gx = _sweep_geometry(p, bh, w)
+
+    def ext0(a):
+        return jnp.pad(a, ((row_halo, row_halo), (0, 0)))
+
+    planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
+    for src in (dw0, dw1):
+        for c in range(C):
+            planes += [src[..., c, 0], src[..., c, 1]]
+    planes += [
+        v_lin_ext[..., 0], v_lin_ext[..., 1],
+        ext0(ui_w[..., 0]), ext0(ui_v[..., 0]), ext0(ui_v[..., 1]),
+        ext0(tc_w[..., 0]), ext0(tc_v[..., 0]), ext0(tc_v[..., 1]),
+        invn_ext, mask_ext, ew_ext,
+    ]
+    dt = _pack_dtype(p)
+    return _pack_shard([pl_.astype(dt) for pl_ in planes], row_halo, gy, gx, th, tw, halo)
+
+
+def pack_v_shard(v_ext: jnp.ndarray, row_halo: int, p: MorphParams) -> jnp.ndarray:
+    """Per-call v pack for one row shard (extended (He, W, 2) field)."""
+    he, w = v_ext.shape[0], v_ext.shape[1]
+    bh = he - 2 * row_halo
+    _taps_, _r, halo, th, tw, gy, gx = _sweep_geometry(p, bh, w)
+    return _pack_shard(
+        [v_ext[..., 0].astype(jnp.float32), v_ext[..., 1].astype(jnp.float32)],
+        row_halo, gy, gx, th, tw, halo,
+    )
+
+
+def fused_grad_parts_shard(
+    x_static, xv, hw, C: int, p: MorphParams, npix_global: int, *, interpret=None
+):
+    """Per-shard (parts (4,), grad, precond) at the packed ``xv``.
+
+    ``parts`` are this shard's RAW energy partial sums (sim, tps, ui, tc) —
+    psum them over the row axis and feed :func:`combine_energy_parts` with
+    the GLOBAL pixel count. ``grad``/``precond`` are already normalized by
+    ``npix_global`` (the kernel constant), local rows only.
+    """
+    h, w = hw
+    interpret = _auto_interpret(interpret)
+    call, (gy, gx, th, tw, ow, halo, _P) = _grad_call_cached(
+        C, h, w, p, interpret, False, npix_global
+    )
+    out, parts = call(x_static, xv)
+    if gx > 1:
+        out = out.reshape(4, gy * th, gx, ow)[..., :tw].reshape(4, gy * th, gx * tw)
+    grad = jnp.moveaxis(out[:2, :h, :w], 0, -1)
+    precond = jnp.moveaxis(out[2:4, :h, :w], 0, -1)
+    return parts.reshape(4), grad, precond
+
+
+def fused_energy_parts_shard(
+    x_static, xv, hw, C: int, p: MorphParams, npix_global: int, *, interpret=None
+):
+    """Per-shard raw energy partial sums (4,) at the packed ``xv``."""
+    h, w = hw
+    interpret = _auto_interpret(interpret)
+    call, _geom = _energy_call_cached(C, h, w, p, interpret, False, npix_global)
+    (parts,) = call(x_static, xv)
+    return parts.reshape(4)
+
+
+def combine_energy_parts(parts, p: MorphParams, npix: int, C: int) -> jnp.ndarray:
+    """Weighted total energy from (psum'd) raw partials — the public twin of
+    the in-file :func:`_combine_parts` for the sharded solver."""
+    return _combine_parts(parts, p, npix, C)

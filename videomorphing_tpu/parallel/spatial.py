@@ -79,9 +79,19 @@ def make_spatial_level_solver(
     sharded over that mesh axis (DP x SP over a 2-D mesh: pairs across
     ``batch_axis``, rows across ``axis`` — the layout of BASELINE.json
     config 5).
+
+    Backend resolution matches ``descent.make_level_solver``: on TPU (or
+    ``backend="pallas"``) each shard's grad/energy evaluation runs the
+    fused Pallas sweep kernels on its own row block — the pack's halo ring
+    holds the REAL neighbor rows from the ppermute exchange, the kernels'
+    ``ew`` plane confines energy partials to owned rows, and the psum over
+    the row axis reassembles the exact global line-search energy
+    (pallas/sweep.py "row-shard entry points"). The vmapped DPxSP combo
+    (``batch_axis``) keeps the jnp path.
     """
     hw_half = p.ssim_window // 2
     halo = 2 * hw_half + 2  # SSIM transpose-conv reach + TPS stencil reach
+    allow_pallas = batch_axis is None
 
     def device_fn(v_blk, i0, i1, ui_w, ui_v, tc_w, tc_v):
         ax_n = jax.lax.axis_size(axis)
@@ -204,6 +214,77 @@ def make_spatial_level_solver(
             energy = jax.lax.psum(e_sim + e_tps + e_ui + e_tc, axis) / npix
             return energy, grad, precond
 
+        # ---------------- fused Pallas shard path (TPU) ---------------------
+        from videomorphing_tpu.solver.descent import _resolve_backend
+
+        use_pallas = allow_pallas and _resolve_backend(p, bh, w)
+        if use_pallas:
+            from videomorphing_tpu.pallas.sweep import (
+                combine_energy_parts,
+                fused_energy_parts_shard,
+                fused_grad_parts_shard,
+                make_sweep_pack_shard,
+                pack_v_shard,
+                quantize_v_lin,
+                sweep_row_halo,
+            )
+
+            rh = sweep_row_halo(p)  # kernel's real-row halo need (<= halo)
+            off = halo - rh
+            he_t = bh + 2 * rh
+            trim = (lambda a: a[off : off + he_t]) if off else (lambda a: a)
+
+            ys_t = trim(ys)
+            vld_t = trim(vld2d)
+            # global 1/n normalization plane restricted to this block's rows
+            # (== sweep._invn_plane of the GLOBAL image at these rows);
+            # zeroed outside the domain so out-of-domain window centers
+            # contribute exactly nothing, like the global zero padding
+            rr = hw_half
+            ny = jnp.zeros(ys_t.shape, dtype)
+            for t in range(p.ssim_window):
+                ok = ((ys_t + (t - rr)) >= 0) & ((ys_t + (t - rr)) < h_glob)
+                ny = ny + k[t] * ok.astype(dtype)
+            nx = jnp.convolve(jnp.ones((w,), dtype), k, mode="same")
+            invn_t = jnp.where(vld_t > 0, 1.0 / (ny * nx[None, :]), 0.0)
+            rows_t = jax.lax.broadcasted_iota(jnp.int32, (he_t, w), 0)
+            ew_t = ((rows_t >= rh) & (rows_t < rh + bh)).astype(dtype) * vld_t
+            g_t = trim(grid_ext)
+            m3 = trim(vld)
+
+            def make_state_pl(v_ext):
+                v_q = quantize_v_lin(v_ext, p)  # bf16-pack parity w/ descent
+                v_t = trim(v_q)
+                w0, dw0 = bilinear_sample_with_grad(i0, g_t - v_t)
+                w1, dw1 = bilinear_sample_with_grad(i1, g_t + v_t)
+                return make_sweep_pack_shard(
+                    w0 * m3, dw0 * m3[..., None], w1 * m3, dw1 * m3[..., None],
+                    v_t, ui_w, ui_v, tc_w, tc_v,
+                    invn_t, vld_t, ew_t, p, rh,
+                )
+
+            def grad_eval_pl(st_, v_ext):
+                xv = pack_v_shard(trim(v_ext), rh, p)
+                parts, grad, precond = fused_grad_parts_shard(
+                    st_, xv, (bh, w), c, p, npix
+                )
+                e = combine_energy_parts(jax.lax.psum(parts, axis), p, npix, c)
+                return e.astype(dtype), grad.astype(dtype), precond.astype(dtype)
+
+            def energy_eval_pl(st_, v_ext):
+                xv = pack_v_shard(trim(v_ext), rh, p)
+                parts = fused_energy_parts_shard(st_, xv, (bh, w), c, p, npix)
+                e = combine_energy_parts(jax.lax.psum(parts, axis), p, npix, c)
+                return e.astype(dtype)
+
+            make_state, grad_fn, energy_fn = (
+                make_state_pl, grad_eval_pl, energy_eval_pl
+            )
+        else:
+            make_state, grad_fn, energy_fn = (
+                rewarp, value_grad_precond, masked_energy
+            )
+
         def foldover_scale_ext(v_ext, d_blk):
             # neighbor gaps need one halo row; compute on ext, crop
             from videomorphing_tpu.solver.descent import _neighbor_gaps
@@ -219,8 +300,8 @@ def make_spatial_level_solver(
         # ------------- iteration loop (identical schedule to descent) ------
         relin = max(int(p.relin_every), 1)
         v_ext0 = exchange(v_blk)
-        wb0 = rewarp(v_ext0)
-        e0 = masked_energy(wb0, v_ext0)
+        wb0 = make_state(v_ext0)
+        e0 = energy_fn(wb0, v_ext0)
         hist0 = jnp.full((n_iters,), jnp.nan, dtype)
 
         def cond(st):
@@ -236,7 +317,7 @@ def make_spatial_level_solver(
         def body_iter(wb_, st):
             v_, step_, e_prev, stall_, it_, hist = st
             v_ext = exchange(v_)
-            e_cur, grad, precond = value_grad_precond(wb_, v_ext)
+            e_cur, grad, precond = grad_fn(wb_, v_ext)
 
             cmask = (parity == (it_ % p.n_colors)).astype(dtype)[..., None]
             d = (-grad / precond) * cmask * bmask
@@ -246,7 +327,7 @@ def make_spatial_level_solver(
             d_ext = exchange(d)
 
             def try_energy(alpha):
-                return masked_energy(wb_, v_ext + alpha * d_ext)
+                return energy_fn(wb_, v_ext + alpha * d_ext)
 
             def ls_cond(ls):
                 alpha, e_try, tries = ls
@@ -276,8 +357,25 @@ def make_spatial_level_solver(
 
         def outer_body(st):
             it0 = st[4]
+            v_blk_ = st[0]
+            if p.relin_median:
+                # same Sun-Roth-Black robustification as descent.outer_body:
+                # 3x3 per-component field median before each re-warp. The
+                # 1-row neighbor halo makes block-interior windows identical
+                # to the single-device filter; at the true domain edges
+                # descent's median pads edge-replicated, so the edge shards
+                # substitute their own edge row for the (zero) ppermute halo.
+                from videomorphing_tpu.ops.windows import median3x3
+
+                v1 = halo_exchange_rows(v_blk_, 1, axis)
+                top = jnp.where(idx == 0, v_blk_[:1], v1[:1])
+                bot = jnp.where(idx == ax_n - 1, v_blk_[-1:], v1[-1:])
+                sl = jnp.concatenate([top, v_blk_, bot], 0)
+                v_med = v_blk_ + (median3x3(sl)[1:-1] - v_blk_) * bmask
+                v_blk_ = jnp.where(it0 > 0, v_med, v_blk_)
+                st = (v_blk_,) + st[1:]
             wb_ = jax.lax.cond(
-                it0 > 0, lambda: rewarp(exchange(st[0])), lambda: wb0
+                it0 > 0, lambda: make_state(exchange(v_blk_)), lambda: wb0
             )
 
             def inner_cond(s):

@@ -43,9 +43,9 @@ class VideoResult(NamedTuple):
     frames: Optional[jnp.ndarray]  # (T, H, W, C) rendered morph frames
     tracked_points: Optional[jnp.ndarray]  # (T, N, 2, 2) tracked UI pairs
     solve_iters: Optional[jnp.ndarray] = None  # scalar: total optimizer
-    # iterations across the cold solve + warm scan (None on the blocked
-    # multi-device path, which doesn't report per-frame stats); feeds the
-    # BASELINE "iters/sec/Mpixel" metric in bench.py
+    # iterations across the cold solve + warm scan (the blocked multi-
+    # device path psums per-block counts, padded repeat-frames included);
+    # feeds the BASELINE "iters/sec/Mpixel" metric in bench.py
 
 
 def warm_level_count(hw: Tuple[int, int], vp: VideoParams) -> int:
@@ -176,7 +176,8 @@ def solve_clip_fields(
     Returns ``(fields (T,H,W,2), tracked (T,N,2,2), flows)`` where flows is
     the dict of per-clip fwd/bwd flows (reused for occlusion weighting).
     With ``return_stats=True`` a 4th element is appended: total optimizer
-    iterations (scalar; ``None`` on the blocked multi-device path).
+    iterations (scalar; on the blocked multi-device path it is the psum of
+    per-block cold + warm counts).
     """
     t_len, h, w = clip_a.shape[0], clip_a.shape[1], clip_a.shape[2]
     dtype = clip_a.dtype
@@ -233,12 +234,13 @@ def solve_clip_fields(
                 fa_fwd=_pad_flows(fa_fwd), fb_fwd=_pad_flows(fb_fwd),
                 fa_bwd=_pad_flows(flows["fa_bwd"]), fb_bwd=_pad_flows(flows["fb_bwd"]),
             )
-            fields = solve_clip_fields_blocked(
+            fields, blk_iters = solve_clip_fields_blocked(
                 _pad_frames(clip_a), _pad_frames(clip_b), _pad_frames(tracked),
                 flows_p, mesh, mp, vp, mesh_axis,
-            )[:t_len]
+            )
+            fields = fields[:t_len]
             if return_stats:
-                return fields, tracked, flows, None
+                return fields, tracked, flows, blk_iters
             return fields, tracked, flows
 
     # frame 0: cold full-pyramid solve
