@@ -55,7 +55,12 @@ def main():
     ap.add_argument("--h", type=int, default=480)
     ap.add_argument("--w", type=int, default=854)
     ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--platform", default=None,
+                    help="cpu/tpu — the axon plugin ignores JAX_PLATFORMS; "
+                    "this is the only reliable off-chip switch")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if not getattr(args, "set"):
         ap.error("at least one --set SEC.FIELD=VAL is required")
 

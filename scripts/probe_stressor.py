@@ -59,7 +59,18 @@ def main():
     ap.add_argument("--median", action="store_true",
                     help="relin_median on (the solver's outlier-rejection "
                     "knob) — lets the same probe decide THAT default too")
+    ap.add_argument("--platform", default=None,
+                    help="cpu/tpu — the axon plugin ignores JAX_PLATFORMS; "
+                    "this is the only reliable off-chip switch")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="SEC.FIELD=VAL",
+                    help="config override(s), same syntax as the CLI — the "
+                    "stressor's analytic mid-frame gate then referees the "
+                    "overridden config (quality vs ground truth, not vs "
+                    "the default output)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     enable_compile_cache()
     print("backend:", jax.default_backend(), jax.devices())
@@ -69,11 +80,17 @@ def main():
     mp, sp = MorphParams(), SynthParams()
     if args.median:
         mp = dataclasses.replace(mp, relin_median=True)
+    vp_base = VideoParams()
+    if getattr(args, "set"):
+        from videomorphing_tpu.cli import _apply_set_overrides
+
+        mp, sp, vp_base = _apply_set_overrides(getattr(args, "set"), mp, sp, vp_base)
 
     report = {"h": args.h, "w": args.w, "frames": args.frames,
-              "drift": args.drift, "median": args.median, "configs": {}}
+              "drift": args.drift, "median": args.median,
+              "set": getattr(args, "set"), "configs": {}}
     for robust in (False, True):
-        vp = dataclasses.replace(VideoParams(), flow_robust=robust)
+        vp = dataclasses.replace(vp_base, flow_robust=robust)
         tag = "robust" if robust else "hs_default"
 
         # flow phase alone (jitted; timed on the second call)

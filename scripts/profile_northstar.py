@@ -54,7 +54,12 @@ def main():
                     "(warm_scan + render, the two largest phases) for "
                     "scripts/trace_summary.py")
     ap.add_argument("--median", action="store_true",
-                    help="relin_median: 3x3 field median at each relin")
+                    help="relin_median: 3x3 field median at each relin "
+                    "(default ON since round 4; kept for A/B symmetry)")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="SEC.FIELD=VAL",
+                    help="config override(s), same syntax as the CLI "
+                    "(e.g. --set video.warm_relin_every=12)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -67,6 +72,10 @@ def main():
         import dataclasses
 
         mp = dataclasses.replace(mp, relin_median=True)
+    if getattr(args, "set"):
+        from videomorphing_tpu.cli import _apply_set_overrides
+
+        mp, sp, vp = _apply_set_overrides(getattr(args, "set"), mp, sp, vp)
     gen = jax.jit(lambda s: _make_clips_device(t_len, h, w, s))
 
     def phases(seed):

@@ -26,9 +26,11 @@ class TestExactConfig:
         mp, sp, vp = exact_configs()
         assert mp.backend == "jnp" and not mp.fused_warp
         assert mp.relin_every == 1 and mp.pack_dtype == "float32"
+        assert mp.relin_median is False  # raw paper energy, no robustifier
         assert sp.invert_multiscale is False and sp.fused_sampling is False
         assert vp.flow_scale == 1.0 and vp.advect_scale == 1.0
         assert vp.flow_warps >= 3 and vp.flow_iters >= 60
+        assert vp.warm_relin_every == 1  # exact warp every warm iteration
 
     @pytest.mark.slow
     def test_fast_defaults_track_exact_oracle(self):

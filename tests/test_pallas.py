@@ -256,6 +256,33 @@ def test_fused_sample_band_count_invariant(bands, monkeypatch):
     assert _rel(bilinear_sample(i0, coords), out) < 1e-5
 
 
+@pytest.mark.parametrize("dispatch", ["band", "map"])
+@pytest.mark.parametrize("kind", ["smooth", "wild", "mixed"])
+def test_fused_warp_dispatch_invariant(dispatch, kind, monkeypatch):
+    """VMORPH_WARP_DISPATCH (unrolled bands vs per-tile-row lax.map) never
+    changes warp values: smooth (all-fast), wild (all-fallback) and mixed
+    (a wild stripe inside smooth surroundings — the realistic converged-
+    field shape, round-4 diag_bands) all match the XLA gather exactly."""
+    monkeypatch.setenv("VMORPH_WARP_DISPATCH", dispatch)
+    h, w = 200, 160  # >1 warp tile row so the map path engages
+    if kind == "mixed":
+        i0, i1, v = _warp_case(h, w, "smooth", seed=9)
+        rng = np.random.default_rng(10)
+        v = np.array(v)
+        v[64:128] = 25 * rng.standard_normal((64, w, 2)).astype(np.float32)
+        v = jnp.asarray(v)
+    else:
+        i0, i1, v = _warp_case(h, w, kind, seed=9)
+    g = grid_coords(h, w, jnp.float32)
+    w0r, dw0r = bilinear_sample_with_grad(i0, g - v)
+    w1r, dw1r = bilinear_sample_with_grad(i1, g + v)
+    w0, dw0, w1, dw1 = fused_warp_pair(i0, i1, v, interpret=True)
+    assert _rel(w0r, w0) < 1e-5
+    assert _rel(dw0r, dw0) < 1e-5
+    assert _rel(w1r, w1) < 1e-5
+    assert _rel(dw1r, dw1) < 1e-5
+
+
 def test_fused_sample_single_2ch():
     """n_imgs=1, C=2 variant (field sampling in the renderer)."""
     from videomorphing_tpu.ops.resample import bilinear_sample

@@ -201,10 +201,16 @@ class TestRelinMedian:
         assert np.abs(v_f[:, -1, 1]).max() == 0.0
         assert float(stats.e_final) <= float(stats.e0) + 1e-7
 
-    def test_off_by_default_identical(self, rng):
-        """relin_median=False is the exact shipped behavior (the flag's
-        default path adds no ops)."""
+    def test_default_is_median_and_explicit_flag_identical(self, rng):
+        """relin_median defaults ON since round 4 (PERF.md round-4 A/B:
+        quality up on every gate, north-star wall neutral); the default
+        path is bit-identical to the explicit flag, and the exact oracle
+        config pins it OFF."""
+        from videomorphing_tpu.config import exact_configs
         from videomorphing_tpu.solver.descent import make_level_solver
+
+        assert MorphParams().relin_median is True
+        assert exact_configs()[0].relin_median is False
 
         h, w = 32, 32
         i0 = _smooth_image(rng, h, w)
@@ -212,7 +218,7 @@ class TestRelinMedian:
         data = make_level_data(i0, i1)
         v0 = jnp.zeros((h, w, 2), jnp.float32)
         p0 = MorphParams(backend="jnp")
-        p1 = MorphParams(backend="jnp", relin_median=False)
+        p1 = MorphParams(backend="jnp", relin_median=True)
         a, _ = jax.jit(make_level_solver(p0, n_iters=5))(v0, data)
         b, _ = jax.jit(make_level_solver(p1, n_iters=5))(v0, data)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -366,8 +366,8 @@ class TestWarmLevels:
         from videomorphing_tpu.video.pipeline import warm_level_count
 
         vp = VideoParams()
-        assert warm_level_count((480, 854), vp) == 2
-        assert warm_level_count((1080, 1920), vp) == 2     # the probed config
+        assert warm_level_count((480, 854), vp) == 1       # round-4 default
+        assert warm_level_count((1080, 1920), vp) == 1     # (stressor-gated)
         assert warm_level_count((2160, 3840), vp) == 3     # 4K safety net
         assert warm_level_count((1080, 1920), VideoParams(warm_levels=3)) == 3
         # clamp: coarsest level must stay >= 8 px

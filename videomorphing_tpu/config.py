@@ -128,7 +128,12 @@ class MorphParams:
     # this is a quality AND throughput knob. Locked boundary components
     # are excluded from the filter; pure elementwise min/max network
     # (ops/windows.py median3x3) at relin cadence, so its cost is noise.
-    relin_median: bool = False
+    # Default ON since round 4 — the on-chip A/B and quality sweep
+    # (PERF.md round 4): 1080p north-star wall neutral (19.16 vs 19.06 s),
+    # 4K solve 11.93 -> 6.6 s, golden rotation SSIM 0.99949 -> 0.99988,
+    # stressor mid-SSIM +0.027 (hs) / +0.029 (robust) at 480p/0.12 drift.
+    # The paper-exact oracle (exact_configs) pins it OFF.
+    relin_median: bool = True
 
     def iters_for_level(self, level: int, n_levels: int) -> int:
         """Iteration budget per level; geometric from coarse to fine.
@@ -254,12 +259,25 @@ class VideoParams:
     # abs — warm frames start close to the optimum)
     warm_iters_mid: int = 20
     warm_iters_fine: int = 12
-    # number of warm-solve pyramid levels; 0 = auto (2 up to ~1080p — the
-    # probed configuration — and 3 above, so 4K video keeps a coarse
-    # safety net when advection confidence is low; see
+    # number of warm-solve pyramid levels; 0 = auto (1 — full res only —
+    # up to ~1080p since round 4, stressor-gated; 3 above so 4K keeps a
+    # coarse safety net when advection confidence is low; see
     # video.pipeline.warm_level_count). Non-finest levels run
     # warm_iters_mid, the finest warm_iters_fine.
     warm_levels: int = 0
+    # Re-warp cadence DURING THE WARM SCAN (0 = inherit morph.relin_every).
+    # Warm-started frames move the field far less per level than a cold
+    # solve, so the first-order warp linearization stays valid across more
+    # iterations — and on real converged 1080p fields the exact re-warp is
+    # the warm scan's single most expensive op (the within-tile coordinate
+    # variation busts the fused-warp kernel's residual budget, so every
+    # relin pays the index-count-bound XLA gather: 51 ms at 1080p, 16 ms
+    # at the mid level — round-4 device trace). Default 12 (fine level:
+    # initial warp only; mid: initial + one relin): warm scan 12.18 ->
+    # 5.96 s / north star 1.57 -> 2.32 f/s on chip, stressor analytic
+    # mid-frame gate UNCHANGED (0.90914 vs 0.90913 robust, 0.88913 vs
+    # 0.88883 hs — PERF.md round 4). The paper-exact oracle pins 1.
+    warm_relin_every: int = 12
 
     dtype: str = "float32"
 
@@ -281,6 +299,7 @@ def exact_configs() -> Tuple[MorphParams, SynthParams, VideoParams]:
         backend="jnp",          # plain-jnp oracle path, no Pallas
         fused_warp=False,
         relin_every=1,          # exact warp every iteration
+        relin_median=False,     # no robustification: the raw paper energy
         pack_dtype="float32",
         iters_coarse=200,
         iters_fine=50,          # pre-probe budget (30 is the probed fast value)
@@ -297,6 +316,8 @@ def exact_configs() -> Tuple[MorphParams, SynthParams, VideoParams]:
         advect_scale=1.0,         # full-resolution advection inversion
         warm_iters_mid=30,
         warm_iters_fine=20,
+        warm_relin_every=1,       # exact warp every warm iteration
+        warm_levels=2,            # the pre-round-4 half-res safety level
         fused_occlusion=False,    # plain-gather twins of the fused samples
         fused_advect=False,
         fused_flow=False,

@@ -506,6 +506,9 @@ def fused_warp_planes(src0, src1, v, *, interpret=None, prescreen=False) -> jnp.
     c0 = g - v
     c1 = g + v
 
+    if _warp_dispatch_map() and gy > 1:
+        return _fused_warp_planes_map(src0, src1, c0, c1, interpret)
+
     outs = []
     for (t0, t1, rs, re) in _row_bands(gy, h, TH):
         bt = t1 - t0
@@ -556,6 +559,97 @@ def fused_warp_planes(src0, src1, v, *, interpret=None, prescreen=False) -> jnp.
             outs.append(prep_dispatch(None))
 
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _warp_dispatch_map() -> bool:
+    """Per-tile-row dispatch for :func:`fused_warp_planes`
+    (``VMORPH_WARP_DISPATCH``: ``map`` forces it on, ``band`` forces the
+    unrolled <=4-band path, unset = default ON).
+
+    Rationale (round-4 device trace + diag_bands): on realistic converged
+    1080p fields the within-tile coordinate variation busts the residual
+    budget in the tile rows covering the moving content, and a <=4-band
+    dispatch throws a quarter of the FRAME to the index-count-bound XLA
+    gather for each of them (51 ms per re-linearization at 1080p, the warm
+    scan's single largest op). Per-tile-row granularity confines the
+    gather to the 64-row strips that actually bust; the compiled program
+    contains ONE copy of the body (same trick as ``_fused_sample_map``).
+    """
+    env = os.environ.get("VMORPH_WARP_DISPATCH")
+    if env == "map":
+        return True
+    if env == "band":
+        return False
+    return _WARP_DISPATCH_MAP_DEFAULT
+
+
+# Flipped by the round-4 on-chip measurement once recorded in PERF.md;
+# the env var above is the per-run override either way.
+_WARP_DISPATCH_MAP_DEFAULT = False
+
+
+def _fused_warp_planes_map(src0, src1, c0, c1, interpret: bool) -> jnp.ndarray:
+    """Per-tile-row dispatch body of :func:`fused_warp_planes`.
+
+    One ``lax.map`` over ``gy`` single-tile-row bands of the halfway warp
+    coords; each row independently takes the Pallas warp kernel or the
+    exact XLA gather. Bit-identical to the band path (both are exact —
+    tests/test_pallas.py warp dispatch invariance)."""
+    i0, i1 = src0.img, src1.img
+    h, w, C = i0.shape
+    gy, gx = _cdiv(h, TH), _cdiv(w, TW)
+    hp = gy * TH
+
+    def pad_rows(co):
+        # replicate the last row: identical rows add zero variation, so the
+        # padding never busts the final row's budget; outputs are cropped
+        return jnp.concatenate([co, jnp.repeat(co[-1:], hp - h, axis=0)], 0)
+
+    co_rows = jnp.concatenate(
+        [
+            pad_rows(c0).reshape(gy, TH, w, 2),
+            pad_rows(c1).reshape(gy, TH, w, 2),
+        ],
+        axis=1,
+    )  # (gy, 2*TH, w, 2) — c0 rows then c1 rows per band
+
+    def row_body(cb_all):
+        cb0 = cb_all[:TH]
+        cb1 = cb_all[TH:]
+
+        def xla_path(_):
+            w0, dw0 = bilinear_sample_with_grad(i0, cb0)
+            w1, dw1 = bilinear_sample_with_grad(i1, cb1)
+            planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
+            for src in (dw0, dw1):
+                for c in range(C):
+                    planes += [src[..., c, 0], src[..., c, 1]]
+            return jnp.stack(planes, 0)
+
+        def prep_dispatch(_):
+            p0 = _prep_image(cb0[..., 0], cb0[..., 1], h, w, 1, gx)
+            p1 = _prep_image(cb1[..., 0], cb1[..., 1], h, w, 1, gx)
+            fits = p0[-1] & p1[-1]
+
+            def pallas_path(_):
+                call = _warp_call_cached(C, 1, gx, interpret)
+                bases = jnp.stack(
+                    [p0[6], p0[7], p0[8], p0[9], p1[6], p1[7], p1[8], p1[9]],
+                    axis=-1,
+                ).astype(jnp.int32)
+                idxi = jnp.stack([p0[0], p0[1], p1[0], p1[1]], 0).astype(jnp.int32)
+                idxf = jnp.stack(
+                    [p0[2], p0[3], p0[4], p0[5], p1[2], p1[3], p1[4], p1[5]], 0
+                ).astype(jnp.float32)
+                (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
+                return out[:, :TH, :w].astype(cb0.dtype)
+
+            return jax.lax.cond(fits, pallas_path, xla_path, None)
+
+        return prep_dispatch(None)
+
+    outs = jax.lax.map(row_body, co_rows)  # (gy, 6C, TH, w)
+    return jnp.moveaxis(outs, 0, 1).reshape(6 * C, hp, w)[:, :h]
 
 
 def packed_plane_geometry(p, h: int, w: int):

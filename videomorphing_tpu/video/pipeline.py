@@ -51,15 +51,20 @@ class VideoResult(NamedTuple):
 def warm_level_count(hw: Tuple[int, int], vp: VideoParams) -> int:
     """Resolve ``vp.warm_levels`` (0 = auto) for a frame size.
 
-    Auto: 2 levels (half-res + full) up to ~1080p — the configuration every
-    warm-iteration cap was quality-probed at — and 3 above, so 4K video
-    gets a coarse safety net when advection confidence is low (fast
-    motion); a 2-level warm solve at 4K would make the "mid" level a 4 MP
-    solve with nothing coarser to recover from a bad warm start (VERDICT
-    round 1 weak #8). Always clamped so the coarsest level stays >= 8 px.
+    Auto: 1 level (full res only) up to ~1080p, 3 above. The half-res
+    "mid" safety level was the round-1..3 default; round 4 measured it
+    against the stressor's analytic ground truth (fast occluder + motion
+    discontinuity + lighting drift — exactly the advect-failure content
+    the level existed for) and the single-level warm solve holds the gate
+    (robust mid-SSIM 0.9091 vs 0.9091, hs -0.001; PERF.md round 4) while
+    cutting the 1080p warm scan 5.96 -> ~3.8-4.4 s (no per-frame a/b/tc_w
+    pyramids, no mid solve, no tc_v resample). 4K keeps the 3-level net:
+    its advect confidence was never probed at 1 level and a bad warm
+    start there has no coarse recovery (VERDICT round 1 weak #8). Always
+    clamped so the coarsest level stays >= 8 px.
     """
     h, w = hw
-    n = vp.warm_levels or (2 if h * w <= 2_400_000 else 3)
+    n = vp.warm_levels or (1 if h * w <= 2_400_000 else 3)
     n = max(1, n)
     while n > 1 and min(pyramid_shapes(h, w, n)[n - 1]) < 8:
         n -= 1
@@ -77,6 +82,10 @@ def _make_warm_solver(mp: MorphParams, hw: Tuple[int, int], vp: VideoParams = Vi
     h, w = hw
     n = warm_level_count(hw, vp)
     shapes = pyramid_shapes(h, w, n)
+    if vp.warm_relin_every:
+        import dataclasses
+
+        mp = dataclasses.replace(mp, relin_every=vp.warm_relin_every)
     solvers = [
         make_level_solver(mp, vp.warm_iters_fine if lv == 0 else vp.warm_iters_mid)
         for lv in range(n)
