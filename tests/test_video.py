@@ -373,6 +373,40 @@ class TestWarmLevels:
         # clamp: coarsest level must stay >= 8 px
         assert warm_level_count((24, 24), VideoParams(warm_levels=4)) == 2
 
+    def test_warm_relin_every_overrides_solver_cadence(self):
+        """video.warm_relin_every must reach the warm solver: cadence 1
+        (exact re-warp every iteration) and the default 12 (one initial
+        warp per level) give DIFFERENT fields on content where the
+        linearization drifts, and cadence == morph.relin_every when 0."""
+        import dataclasses
+
+        from videomorphing_tpu.video.pipeline import _make_warm_solver
+
+        h, w = 64, 64
+        u = 3.0
+        a = _blob_frame(h, w, 32, 32 - u, sigma=6.0)
+        b = _blob_frame(h, w, 32, 32 + u, sigma=6.0)
+        mp = MorphParams(backend="jnp")
+        pts = jnp.zeros((0, 2, 2), jnp.float32)
+        z2 = jnp.zeros((h, w, 2), jnp.float32)
+        tc_w = jnp.zeros((h, w, 1), jnp.float32)
+
+        def run(vp):
+            warm = _make_warm_solver(mp, (h, w), vp)
+            v, _aux = jax.jit(warm)(a, b, pts, z2, z2, tc_w)
+            return np.asarray(v)
+
+        v_exact = run(VideoParams(warm_relin_every=1, warm_levels=1))
+        v_lazy = run(VideoParams(warm_relin_every=12, warm_levels=1))
+        v_inherit = run(VideoParams(warm_relin_every=0, warm_levels=1))
+        v_mp = run(
+            VideoParams(warm_relin_every=mp.relin_every, warm_levels=1)
+        )
+        # the knob is live (cadences differ on drifting content) ...
+        assert float(np.abs(v_exact - v_lazy).max()) > 1e-6
+        # ... and 0 = inherit morph.relin_every exactly
+        np.testing.assert_array_equal(v_inherit, v_mp)
+
     def test_three_levels_recover_from_bad_warm_start(self):
         """With a ~12 px displacement and a ZERO warm start (the bad-
         advection regime), the half-res mid level sees 6 px — beyond the

@@ -108,7 +108,15 @@ def test_blocked_propagate_flag_honored():
     clip_a = _moving_clip(t_len, h, w, (12, 6), (0, 1))
     clip_b = _moving_clip(t_len, h, w, (12, 9), (0, 1))
     mp = MorphParams(n_levels=2, iters_coarse=15, iters_fine=8)
-    vp = VideoParams(flow_iters=15, propagate=False)
+    # pin the pre-round-4 warm schedule: this test compares BLOCKED vs
+    # SEQUENTIAL execution of the same per-frame solves, so each warm
+    # solve must converge well enough that the two paths' block-boundary
+    # cold starts wash out — with the fast single-level/lazy-relin warm
+    # defaults a 24^2 frame stays too close to its init for the 5e-2
+    # parity band (block mechanics are unchanged either way)
+    vp = VideoParams(
+        flow_iters=15, propagate=False, warm_levels=2, warm_relin_every=4
+    )
     mesh = make_mesh((4,), ("batch",))
     blk, _, _ = solve_clip_fields(clip_a, clip_b, None, mp, vp, mesh=mesh)
     seq, _, _ = solve_clip_fields(clip_a, clip_b, None, mp, vp)
