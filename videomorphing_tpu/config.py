@@ -81,8 +81,13 @@ class MorphParams:
     # warp around the last re-warp point (the classic warping-scheme
     # structure of TV-L1/Horn-Schunck solvers). 1 = re-warp every iteration.
     # The gather is the single most expensive op on TPU (no texture units),
-    # so this directly scales solver throughput.
-    relin_every: int = 4
+    # so this directly scales solver throughput. Default 8 since round 4:
+    # the round-2 rejection of 4->8 (p99 0.04 diff-vs-default) predates the
+    # relin_median robustifier; WITH the median the ground-truth gates are
+    # neutral-to-better (golden rotation v_err 0.0061 -> 0.0043 px,
+    # stressor robust 0.90911 vs 0.90914) and the 1080p cold solve drops
+    # 1.27 -> 0.75 s (PERF.md round 4). exact_configs pins 1.
+    relin_every: int = 8
     # Pallas kernels pay off only above this pixel count (per level).
     pallas_min_pixels: int = 16384
     # Use the fused Pallas warp kernel (pallas.warp) for re-warps on the

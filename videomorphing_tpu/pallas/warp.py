@@ -448,13 +448,23 @@ def _sample_prescreen() -> bool:
 N_FALLBACK_BANDS = 4
 
 
-def _fallback_bands() -> int:
+def _fallback_bands(gy: int = 0) -> int:
     """Band count for fast/fallback dispatch (``VMORPH_FALLBACK_BANDS`` env
     overrides — an on-chip A/B knob: more bands = finer dispatch, so
     localized wild regions poison less of the frame, at the price of a
-    bigger compiled program; read at trace time, so set it before jit)."""
+    bigger compiled program; read at trace time, so set it before jit).
+
+    Auto (no env): 4 bands up to ~1080p, 16 above. At 4K the XLA-gather
+    fallback degrades to ~70 ns/index (vs ~18 at 1080p) because random
+    taps across a 133 MB source lose all DRAM locality; narrower output
+    bands bound each gather's source working set and win ~10% end-to-end
+    (round-4 A/B: 19.53 -> 17.65 s on the 4-frame 4K profile, render
+    7.78 -> 6.90 s). At <=1080p finer bands measured neutral — the
+    source already has enough locality — so the smaller program wins."""
     env = os.environ.get("VMORPH_FALLBACK_BANDS")
-    return int(env) if env else N_FALLBACK_BANDS
+    if env:
+        return int(env)
+    return N_FALLBACK_BANDS if gy <= 20 else 16
 
 
 def _row_bands(gy: int, h: int, th: int, n_bands: int | None = None):
@@ -469,7 +479,7 @@ def _row_bands(gy: int, h: int, th: int, n_bands: int | None = None):
     and an all-or-nothing dispatch was throwing the whole frame to the XLA
     gather path for them.
     """
-    n = min(n_bands if n_bands is not None else _fallback_bands(), gy)
+    n = min(n_bands if n_bands is not None else _fallback_bands(gy), gy)
     bands = []
     for k in range(n):
         t0 = (k * gy) // n
