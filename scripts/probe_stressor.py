@@ -84,6 +84,10 @@ def main():
     if getattr(args, "set"):
         from videomorphing_tpu.cli import _apply_set_overrides
 
+        if any(s.startswith("video.flow_robust=") for s in getattr(args, "set")):
+            # the probe loop sweeps flow_robust over BOTH values itself; a
+            # user-supplied override would be silently clobbered (ADVICE r4)
+            ap.error("--set video.flow_robust is swept by this probe; drop it")
         mp, sp, vp_base = _apply_set_overrides(getattr(args, "set"), mp, sp, vp_base)
 
     report = {"h": args.h, "w": args.w, "frames": args.frames,

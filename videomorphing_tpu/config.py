@@ -282,6 +282,11 @@ class VideoParams:
     # 5.96 s / north star 1.57 -> 2.32 f/s on chip, stressor analytic
     # mid-frame gate UNCHANGED (0.90914 vs 0.90913 robust, 0.88913 vs
     # 0.88883 hs — PERF.md round 4). The paper-exact oracle pins 1.
+    # ESCAPE HATCH for fast-motion / low-advect-confidence content outside
+    # the stressor's distribution (ADVICE r4): --set video.warm_levels=2
+    # restores the half-res coarse recovery level and --set
+    # video.warm_relin_every=1 restores exact re-warps every iteration;
+    # both revert to the pre-round-4 conservative warm schedule.
     warm_relin_every: int = 12
 
     dtype: str = "float32"

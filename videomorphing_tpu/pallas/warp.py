@@ -574,7 +574,10 @@ def fused_warp_planes(src0, src1, v, *, interpret=None, prescreen=False) -> jnp.
 def _warp_dispatch_map() -> bool:
     """Per-tile-row dispatch for :func:`fused_warp_planes`
     (``VMORPH_WARP_DISPATCH``: ``map`` forces it on, ``band`` forces the
-    unrolled <=4-band path, unset = default ON).
+    unrolled band path, unset = default band — the round-4 on-chip A/B
+    measured map neutral-to-worse at the north star because the TPS-spread
+    field gradients bust the budget frame-wide, leaving no fit/bust
+    boundary for finer dispatch to exploit; see PERF.md round 4).
 
     Rationale (round-4 device trace + diag_bands): on realistic converged
     1080p fields the within-tile coordinate variation busts the residual

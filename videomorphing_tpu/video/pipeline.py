@@ -74,7 +74,8 @@ def warm_level_count(hw: Tuple[int, int], vp: VideoParams) -> int:
 def _make_warm_solver(mp: MorphParams, hw: Tuple[int, int], vp: VideoParams = VideoParams()):
     """Static coarse-to-fine warm solve used inside the frame scan.
 
-    ``warm_level_count`` levels (default: half-res + full res); iteration
+    ``warm_level_count`` levels (auto since round 4: full res only up to
+    ~1080p, 3 levels above — see :func:`warm_level_count`); iteration
     caps come from ``vp.warm_iters_mid`` (every non-finest level) and
     ``vp.warm_iters_fine`` (finest) — warm-started frames need far fewer
     iterations than a cold start [EGSR14 s4].
