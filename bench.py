@@ -351,6 +351,103 @@ def _bench_batch_4k() -> dict:
     }
 
 
+def _bench_batch_stream() -> dict:
+    """Config 5's STREAMING half, measured end-to-end (VERDICT r4 #5 /
+    missing #3): .vmc decode (native ring buffer when built) ->
+    double-buffered ``device_put`` -> ``make_batch_step`` -> blocking D2H
+    of the previous block while the next computes -> ``VmcWriter`` encode.
+
+    ``bench.py batch_4k``'s compute-only number deliberately excludes the
+    host path (the dev tunnel is ~10 MB/s and would swamp it); THIS
+    variant includes it and attributes the phases, so the module's core
+    claim — "the device never waits on the host as long as decode keeps
+    ahead" — gets a measured verdict: ``decode_wait_s`` is the time the
+    pipeline blocked on the clip iterators (prefetch failing to keep
+    ahead), ``device_busy_frac`` is blocks*compute/wall. On this tunnel
+    H2D dominates by environment, not design — the JSON separates it so
+    the production (locally-attached) projection reads straight off.
+
+    Shape via BENCH_H/BENCH_W/BENCH_FRAMES (default 4K, 6 frames).
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from videomorphing_tpu.config import MorphParams, SynthParams
+    from videomorphing_tpu.io.clips import VmcWriter, open_clip_reader, write_vmc
+    from videomorphing_tpu.parallel.batch import StreamingBatchRunner, make_batch_step
+    from videomorphing_tpu.parallel.mesh import make_mesh
+
+    h = int(os.environ.get("BENCH_H", "2160"))
+    w = int(os.environ.get("BENCH_W", "3840"))
+    t_len = int(os.environ.get("BENCH_FRAMES", "6"))
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+
+    # synthetic clips on HOST (uint8 .vmc is what production streams);
+    # written once to temp files so the real decode path runs
+    ca, cb = _make_clips(t_len, h, w, seed=int(time.time_ns() % (1 << 31)))
+    tmp = tempfile.mkdtemp(prefix="vmorph_stream_")
+    pa, pb = os.path.join(tmp, "a.vmc"), os.path.join(tmp, "b.vmc")
+    write_vmc(pa, ca)
+    write_vmc(pb, cb)
+    out_path = os.path.join(tmp, "out.vmc")
+
+    runner = StreamingBatchRunner(mesh, MorphParams(), SynthParams())
+
+    # pure-compute reference block (content already on device): the
+    # device-busy denominator for the overlap verdict
+    step = make_batch_step(MorphParams(), SynthParams(), mesh, (h, w), 1)
+    gen = jax.jit(lambda s: _make_clips_device(n_dev, h, w, s))
+    da, db = gen(jnp.int32(11))
+    pts0 = jnp.zeros((n_dev, 0, 2, 2), jnp.float32)
+    ts0 = jnp.full((n_dev, 1), 0.5, jnp.float32)
+    float(jnp.sum(step(da, db, pts0, ts0)[0]))  # compile
+    t0 = time.perf_counter()
+    float(jnp.sum(step(da, db, pts0, ts0)[0]))
+    t_comp_block = time.perf_counter() - t0
+
+    def run_once():
+        stats = []
+        enc = VmcWriter(out_path)
+        t_start = time.perf_counter()
+        for _s, frames in runner.run_clip_pair(
+            open_clip_reader(pa, block=max(n_dev, 2)),
+            open_clip_reader(pb, block=max(n_dev, 2)),
+            t_len, (h, w), stats=stats,
+        ):
+            enc.append(frames)
+        wall = time.perf_counter() - t_start
+        enc.close()
+        return wall, stats
+
+    run_once()  # compile + warm the readers' page cache
+    wall, stats = run_once()
+
+    n_blocks = len(stats)
+    decode_wait = sum(s["decode_s"] for s in stats)
+    h2d = sum(s["h2d_s"] for s in stats)
+    fetch = sum(s["fetch_s"] for s in stats)
+    busy = n_blocks * t_comp_block / wall if wall > 0 else 0.0
+    return {
+        "metric": "stream_pairs_4k" if (h, w) == (2160, 3840) else "stream_pairs",
+        "value": round(t_len / wall, 4),
+        "unit": "pairs/s",
+        "h": h, "w": w, "frames": t_len, "blocks": n_blocks,
+        "wall_seconds": round(wall, 3),
+        "compute_block_s": round(t_comp_block, 3),
+        "device_busy_frac": round(min(busy, 1.0), 3),
+        "decode_wait_s": round(decode_wait, 3),
+        "decode_keeps_ahead": bool(decode_wait < 0.05 * wall),
+        "h2d_issue_s": round(h2d, 3),
+        "fetch_s": round(fetch, 3),
+        "host_overhead_frac": round(
+            max(0.0, (wall - n_blocks * t_comp_block) / wall), 3
+        ),
+    }
+
+
 def _device_watchdog(timeout_s: int = 240):
     """Probe backend init in a SUBPROCESS with a hard timeout.
 
@@ -434,6 +531,9 @@ def main(argv=None) -> int:
         return 0
     if config == "batch_4k":
         print(json.dumps(_bench_batch_4k()))
+        return 0
+    if config == "batch_4k_stream":
+        print(json.dumps(_bench_batch_stream()))
         return 0
     if config == "kernels":
         print(json.dumps(_bench_kernels(_bench_params()[0])))
