@@ -505,13 +505,13 @@ def main(argv=None) -> int:
                     # NOT this run's number — the most recent completed
                     # on-chip measurement of this exact workload (30-frame
                     # 1080p north star, one v5e chip), recorded in
-                    # the round-3 queue (3 reps, 0.1% spread), for the
-                    # record while the tunnel is down:
-                    "last_measured_value": 1.5831,
-                    "last_measured_vs_baseline": 4.2215,
-                    "last_measured_note": "prior on-chip run (round-3 "
-                    "fused-sampler work, 3 reps, 0.4% spread); re-run "
-                    "bench.py when the tunnel is back",
+                    # the round-5 mixed-dispatch queue (3 reps, 0.0%
+                    # spread), for the record while the tunnel is down:
+                    "last_measured_value": 4.1824,
+                    "last_measured_vs_baseline": 11.1531,
+                    "last_measured_note": "prior on-chip run (round-5 "
+                    "mixed per-tile dispatch, 3 reps, 0.0% spread); "
+                    "re-run bench.py when the tunnel is back",
                 }
             )
         )

@@ -235,18 +235,26 @@ def test_fused_sample_matches_gather(kind):
     assert _rel(bilinear_sample(i1, c1), s1) < 1e-5
 
 
-@pytest.mark.parametrize("bands", [1, 4, 16, "map"])
+@pytest.mark.parametrize("bands", [1, 4, 16, "map", "mixed", "mixed_cap"])
 def test_fused_sample_band_count_invariant(bands, monkeypatch):
-    """Dispatch granularity (VMORPH_FALLBACK_BANDS band count, or the
-    VMORPH_SAMPLE_DISPATCH=map per-tile-row path) never changes values: a
+    """Dispatch granularity (VMORPH_FALLBACK_BANDS band count, the
+    VMORPH_SAMPLE_DISPATCH=map per-tile-row path, or the round-5 mixed
+    per-tile kernel+compact-gather path) never changes values: a
     mixed field (wild stripe inside smooth surroundings) must match the
     XLA gather at every granularity — finer dispatch routes less of the
-    frame to the fallback but both paths are exact."""
+    frame to the fallback but both paths are exact. ``mixed_cap`` pins
+    the compact budget below the busted count, forcing the full-frame
+    fallback branch of the mixed path."""
     from videomorphing_tpu.ops.resample import bilinear_sample
     from videomorphing_tpu.pallas.warp import fused_sample
 
     if bands == "map":
         monkeypatch.setenv("VMORPH_SAMPLE_DISPATCH", "map")
+    elif bands == "mixed":
+        monkeypatch.setenv("VMORPH_SAMPLE_DISPATCH", "mixed")
+    elif bands == "mixed_cap":
+        monkeypatch.setenv("VMORPH_SAMPLE_DISPATCH", "mixed")
+        monkeypatch.setenv("VMORPH_MIXED_CAP", "0.03")
     else:
         monkeypatch.setenv("VMORPH_FALLBACK_BANDS", str(bands))
     h, w = 256, 160  # 4 sampler tile rows
@@ -260,13 +268,15 @@ def test_fused_sample_band_count_invariant(bands, monkeypatch):
     assert _rel(bilinear_sample(i0, coords), out) < 1e-5
 
 
-@pytest.mark.parametrize("dispatch", ["band", "map"])
+@pytest.mark.parametrize("dispatch", ["band", "map", "mixed"])
 @pytest.mark.parametrize("kind", ["smooth", "wild", "mixed"])
 def test_fused_warp_dispatch_invariant(dispatch, kind, monkeypatch):
-    """VMORPH_WARP_DISPATCH (unrolled bands vs per-tile-row lax.map) never
-    changes warp values: smooth (all-fast), wild (all-fallback) and mixed
-    (a wild stripe inside smooth surroundings — the realistic converged-
-    field shape, round-4 diag_bands) all match the XLA gather exactly."""
+    """VMORPH_WARP_DISPATCH (unrolled bands, per-tile-row lax.map, or the
+    round-5 mixed per-tile kernel+compact-gather path) never changes warp
+    values: smooth (all-fast), wild (all-fallback / over-cap full-gather
+    for mixed) and mixed (a wild stripe inside smooth surroundings — the
+    realistic converged-field shape, round-4 diag_bands) all match the
+    XLA gather exactly."""
     monkeypatch.setenv("VMORPH_WARP_DISPATCH", dispatch)
     h, w = 200, 160  # >1 warp tile row so the map path engages
     if kind == "mixed":

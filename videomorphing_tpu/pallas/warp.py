@@ -445,6 +445,115 @@ def _sample_prescreen() -> bool:
     return os.environ.get("VMORPH_SAMPLE_PRESCREEN", "0") not in ("", "0", "false")
 
 
+def _mixed_cap(n_tiles: int) -> int:
+    """Static busted-tile budget of the mixed dispatch's compact fallback.
+
+    The compact gather is sized for K tiles whether or not they are all
+    busted (static shapes), so K trades headroom against fallback cost:
+    too small -> frames with more busted tiles than K take the full-frame
+    gather; too large -> every mixed-path frame pays a K-tile gather.
+    diag_blocks (round 5, north-star converged fields): 20-28% of tiles
+    bust the v1 budgets roughly independent of granularity (the moving
+    blob's tap scatter is intrinsic), so the default cap is 43.75% (7/16)
+    of the frame's tiles. ``VMORPH_MIXED_CAP`` env (float fraction)
+    overrides for A/Bs; read at trace time.
+    """
+    frac = float(os.environ.get("VMORPH_MIXED_CAP", "0.4375"))
+    return max(1, min(n_tiles, int(-(-n_tiles * frac // 1))))
+
+
+def _tile_max(plane: jnp.ndarray, gy: int, gx: int, th: int, tw: int):
+    """Per-tile max of an (gy*th, gx*tw) int plane -> (gy, gx)."""
+    return jnp.max(plane.reshape(gy, th, gx, tw), axis=(1, 3))
+
+
+def _to_tiles(a: jnp.ndarray, gy: int, gx: int, th: int, tw: int):
+    """(..., gy*th, gx*tw) -> (gy*gx, ..., th, tw) tile-major blocks."""
+    lead = a.shape[:-2]
+    n = len(lead)
+    a = a.reshape(lead + (gy, th, gx, tw))
+    a = jnp.moveaxis(a, (n, n + 2), (0, 1))        # (gy, gx, ..., th, tw)
+    return a.reshape((gy * gx,) + lead + (th, tw))
+
+
+def _from_tiles(t: jnp.ndarray, gy: int, gx: int, th: int, tw: int):
+    """Inverse of :func:`_to_tiles`."""
+    lead = t.shape[1:-2]
+    n = len(lead)
+    t = t.reshape((gy, gx) + lead + (th, tw))
+    t = jnp.moveaxis(t, (0, 1), (n, n + 2))        # (..., gy, th, gx, tw)
+    return t.reshape(lead + (gy * th, gx * tw))
+
+
+def _pad_coords_tiles(co: jnp.ndarray, hp: int, wp: int):
+    """Edge-pad an (h, w, 2) coord map to full tiles (padded values are
+    only ever sampled for tiles whose real rows busted; results there are
+    cropped away)."""
+    h, w = co.shape[:2]
+    return jnp.pad(co, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+
+
+def _mixed_select(prep, fit_t, gy: int, gx: int, th: int, tw: int):
+    """Sentinel a prep's planes/bases so the kernel writes ZEROS on busted
+    tiles and their window DMAs stay in range: dev/devx get the no-match
+    residual (>= budget), bases clamp to offset 0 (valid memory — the
+    same clamp ``_prep_image`` applies to empty tiles)."""
+    dev, devx, fy, fx, oky, okx, row_start, phase, col_start, bx_frac, _f = prep
+    fit_px = jnp.repeat(jnp.repeat(fit_t, th, 0), tw, 1)
+    dev = jnp.where(fit_px, dev, jnp.int32(1 << 20))
+    devx = jnp.where(fit_px, devx, jnp.int32(1 << 20))
+    z = jnp.zeros_like(row_start)
+    row_start = jnp.where(fit_t, row_start, z)
+    phase = jnp.where(fit_t, phase, z)
+    col_start = jnp.where(fit_t, col_start, z)
+    bx_frac = jnp.where(fit_t, bx_frac, z)
+    return dev, devx, fy, fx, oky, okx, row_start, phase, col_start, bx_frac
+
+
+def _tile_fits(prep, d_budget: int, dx_budget: int, gy: int, gx: int,
+               th: int, tw: int):
+    """Per-tile fit mask (gy, gx) from a whole-frame ``_prep_image``."""
+    dev, devx = prep[0], prep[1]
+    row_start, col_start = prep[6], prep[8]
+    return (
+        (_tile_max(dev, gy, gx, th, tw) <= d_budget - 1)
+        & (_tile_max(devx, gy, gx, th, tw) <= dx_budget - 1)
+        & (row_start >= 0)
+        & (col_start >= 0)
+    )
+
+
+def _topk_busted(busted_flat: jnp.ndarray, k: int):
+    """(ids_clamped, ids_scatter) of up to ``k`` busted tiles.
+
+    ``ids_clamped`` is safe for ``jnp.take`` (padding entries point at
+    tile 0 — sampled then dropped); ``ids_scatter`` sends padding to
+    ``n_tiles`` so ``.at[].set(mode='drop')`` discards it.
+    """
+    nt = busted_flat.shape[0]
+    flags, ids = jax.lax.top_k(busted_flat.astype(jnp.int32), k)
+    ids_c = jnp.minimum(ids, nt - 1)
+    ids_s = jnp.where(flags > 0, ids, nt)
+    return ids_c, ids_s
+
+
+# Default sampler dispatch: "mixed" since round 5 — the render phase at
+# the north star dropped 4.65 -> 2.76 s in the on-chip A/B (the VERDICT
+# r4 #1 "break the XLA-gather floor" target: busted tiles now cost
+# ~their-fraction of a gather instead of poisoning whole bands); exact,
+# all gates unchanged (PERF.md round 5).
+_SAMPLE_DISPATCH_DEFAULT = "mixed"
+
+
+def _sample_dispatch_mode() -> str:
+    """Resolve :func:`fused_sample` dispatch: ``band`` / ``map`` /
+    ``mixed`` (``VMORPH_SAMPLE_DISPATCH`` env overrides; trace time)."""
+    env = os.environ.get("VMORPH_SAMPLE_DISPATCH")
+    if env in ("band", "map", "mixed"):
+        return env
+    return _SAMPLE_DISPATCH_DEFAULT
+
+
 N_FALLBACK_BANDS = 4
 
 
@@ -516,7 +625,10 @@ def fused_warp_planes(src0, src1, v, *, interpret=None, prescreen=False) -> jnp.
     c0 = g - v
     c1 = g + v
 
-    if _warp_dispatch_map() and gy > 1:
+    mode = _warp_dispatch_mode()
+    if mode == "mixed":
+        return _fused_warp_planes_mixed(src0, src1, c0, c1, interpret)
+    if mode == "map" and gy > 1:
         return _fused_warp_planes_map(src0, src1, c0, c1, interpret)
 
     outs = []
@@ -571,6 +683,102 @@ def fused_warp_planes(src0, src1, v, *, interpret=None, prescreen=False) -> jnp.
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
+def _fused_warp_planes_mixed(src0, src1, c0, c1, interpret: bool) -> jnp.ndarray:
+    """MIXED per-tile dispatch body of :func:`fused_warp_planes` (round 5).
+
+    diag_blocks (north-star converged fields) killed the premise of both
+    the band and map dispatches: ~75% of (8,128)-and-coarser blocks are
+    dead smooth (p50 residual spread <= 1) while ~25% are intrinsically
+    scattered (spread 18-88 at ANY granularity — the moving content's tap
+    scatter is real, not base-granularity artifact), and they are spread
+    widely enough that every band/tile-row contains some. All-or-nothing
+    dispatch at any granularity therefore degenerates to ~all-gather.
+
+    This path instead runs the Pallas kernel over the WHOLE frame with
+    busted tiles sentineled to produce zeros, then fills ONLY the busted
+    tiles through the exact XLA gather, compacted tile-wise: whole (64,
+    256) tiles ride single gather/scatter indices (gathers on this
+    hardware are index-count bound — payload rides free), so the fallback
+    pays ~busted-fraction of a full-frame gather instead of all of it.
+    The compact buffer is statically sized (``_mixed_cap``); frames with
+    more busted tiles than the cap take the full-frame gather (exact
+    either way). Outputs are bit-identical to the band path — fit tiles
+    come from the same kernel, busted tiles from the same XLA sampler.
+    """
+    i0, i1 = src0.img, src1.img
+    h, w, C = i0.shape
+    gy, gx = _cdiv(h, TH), _cdiv(w, TW)
+    hp, wp = gy * TH, gx * TW
+    nt = gy * gx
+    dt = c0.dtype
+
+    p0 = _prep_image(c0[..., 0], c0[..., 1], h, w, gy, gx)
+    p1 = _prep_image(c1[..., 0], c1[..., 1], h, w, gy, gx)
+    # one joint fit mask: the kernel computes both images per tile, so a
+    # tile busting for EITHER image is filled for both (simpler compact
+    # path; the extra fill work is bounded by the union)
+    fit_t = _tile_fits(p0, D, DX, gy, gx, TH, TW) & _tile_fits(
+        p1, D, DX, gy, gx, TH, TW
+    )
+    s0 = _mixed_select(p0, fit_t, gy, gx, TH, TW)
+    s1 = _mixed_select(p1, fit_t, gy, gx, TH, TW)
+
+    call = _warp_call_cached(C, gy, gx, interpret)
+    bases = jnp.stack(
+        [s0[6], s0[7], s0[8], s0[9], s1[6], s1[7], s1[8], s1[9]], axis=-1
+    ).astype(jnp.int32)
+    idxi = jnp.stack([s0[0], s0[1], s1[0], s1[1]], 0).astype(jnp.int32)
+    idxf = jnp.stack(
+        [s0[2], s0[3], s0[4], s0[5], s1[2], s1[3], s1[4], s1[5]], 0
+    ).astype(jnp.float32)
+    (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
+    out = out.astype(dt)  # (6C, hp, wp); zeros on busted tiles
+
+    busted = ~fit_t.reshape(-1)
+    n_b = jnp.sum(busted.astype(jnp.int32))
+    k_cap = _mixed_cap(nt)
+
+    def stack_planes(w0, dw0, w1, dw1):
+        planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
+        for src in (dw0, dw1):
+            for c in range(C):
+                planes += [src[..., c, 0], src[..., c, 1]]
+        return jnp.stack(planes, 0)
+
+    def fast_path(_):
+        return out[:, :h, :w]
+
+    def compact_path(_):
+        ids_c, ids_s = _topk_busted(busted, k_cap)
+
+        def tile_coords(c):
+            ct = _to_tiles(
+                jnp.moveaxis(_pad_coords_tiles(c, hp, wp), -1, 0), gy, gx, TH, TW
+            )  # (nt, 2, TH, TW)
+            sub = jnp.take(ct, ids_c, axis=0)
+            return jnp.moveaxis(sub, 1, -1).reshape(k_cap * TH, TW, 2)
+
+        w0, dw0 = bilinear_sample_with_grad(i0, tile_coords(c0))
+        w1, dw1 = bilinear_sample_with_grad(i1, tile_coords(c1))
+        sub = stack_planes(w0, dw0, w1, dw1)           # (6C, K*TH, TW)
+        sub = jnp.moveaxis(sub.reshape(6 * C, k_cap, TH, TW), 0, 1)
+        fast_t = _to_tiles(out, gy, gx, TH, TW)        # (nt, 6C, TH, TW)
+        filled = fast_t.at[ids_s].set(sub.astype(dt), mode="drop")
+        return _from_tiles(filled, gy, gx, TH, TW)[:, :h, :w]
+
+    def full_path(_):
+        w0, dw0 = bilinear_sample_with_grad(i0, c0)
+        w1, dw1 = bilinear_sample_with_grad(i1, c1)
+        return stack_planes(w0, dw0, w1, dw1)
+
+    return jax.lax.cond(
+        n_b == 0,
+        fast_path,
+        lambda op: jax.lax.cond(n_b <= k_cap, compact_path, full_path, op),
+        None,
+    )
+
+
 def _warp_dispatch_map() -> bool:
     """Per-tile-row dispatch for :func:`fused_warp_planes`
     (``VMORPH_WARP_DISPATCH``: ``map`` forces it on, ``band`` forces the
@@ -599,6 +807,24 @@ def _warp_dispatch_map() -> bool:
 # Flipped by the round-4 on-chip measurement once recorded in PERF.md;
 # the env var above is the per-run override either way.
 _WARP_DISPATCH_MAP_DEFAULT = False
+
+# Default warp dispatch: "mixed" since round 5 — on-chip A/B at the north
+# star: total 10.82 -> 7.33 s single-rep (cold solve 0.77 -> 0.55, warm
+# scan 4.44 -> 3.08), bench 3-rep 7.17 s / 4.18 f/s at 0.0% spread with
+# all gates unchanged (PERF.md round 5). Dispatch is exact — "band"/"map"
+# remain as env escapes.
+_WARP_DISPATCH_DEFAULT = "mixed"
+
+
+def _warp_dispatch_mode() -> str:
+    """Resolve the fused-warp dispatch: ``band`` (unrolled row bands, the
+    round-1..4 path), ``map`` (per-tile-row lax.map), or ``mixed``
+    (whole-frame kernel + compact per-tile gather fill — round 5).
+    ``VMORPH_WARP_DISPATCH`` env overrides; read at trace time."""
+    env = os.environ.get("VMORPH_WARP_DISPATCH")
+    if env in ("band", "map", "mixed"):
+        return env
+    return _WARP_DISPATCH_DEFAULT
 
 
 def _fused_warp_planes_map(src0, src1, c0, c1, interpret: bool) -> jnp.ndarray:
@@ -831,7 +1057,10 @@ def fused_sample(srcs, coords, *, interpret=None):
     interpret = _auto_interpret(interpret)
     gy, gx = _cdiv(h, TH_S), _cdiv(w, TW_S)
 
-    if os.environ.get("VMORPH_SAMPLE_DISPATCH") == "map" and gy > 1:
+    smode = _sample_dispatch_mode()
+    if smode == "mixed":
+        return _fused_sample_mixed(srcs, coords, c_blk, nc, interpret)
+    if smode == "map" and gy > 1:
         return _fused_sample_map(srcs, coords, c_blk, nc, interpret)
 
     g = grid_coords(h, w, coords[0].dtype)
@@ -913,6 +1142,92 @@ def fused_sample(srcs, coords, *, interpret=None):
         jnp.concatenate([b[im] for b in band_outs], axis=0)
         for im in range(n_imgs)
     ]
+
+
+def _fused_sample_mixed(srcs, coords, c_blk: int, nc: int, interpret: bool):
+    """MIXED per-tile dispatch body of :func:`fused_sample` (round 5).
+
+    Same construction as :func:`_fused_warp_planes_mixed` (see its
+    docstring for the diag_blocks rationale): one whole-frame kernel call
+    with busted tiles sentineled to zeros, then per image a compact
+    tile-gather -> exact XLA bilinear -> tile-scatter fill of only the
+    busted tiles. Per-image fit masks (each image has its own coordinate
+    map, unlike the halfway warp pair).
+    """
+    from videomorphing_tpu.ops.resample import bilinear_sample
+
+    n_imgs = len(srcs)
+    h, w, C = srcs[0].img.shape
+    th, tw = TH_S, TW_S
+    gy, gx = _cdiv(h, th), _cdiv(w, tw)
+    hp, wp = gy * th, gx * tw
+    nt = gy * gx
+    dt = coords[0].dtype
+
+    preps = [
+        _prep_image(
+            co[..., 0], co[..., 1], h, w, gy, gx,
+            dx_budget=DX_SAMPLE, th=th, tw=tw,
+        )
+        for co in coords
+    ]
+    fits = [_tile_fits(p, D, DX_SAMPLE, gy, gx, th, tw) for p in preps]
+    sels = [_mixed_select(p, f, gy, gx, th, tw) for p, f in zip(preps, fits)]
+
+    call = _sample_call_cached(c_blk, nc, n_imgs, gy, gx, interpret)
+    bases = jnp.stack(
+        [s[i] for s in sels for i in (6, 7, 8, 9)], axis=-1
+    ).astype(jnp.int32).reshape(gy, gx, 4 * n_imgs)
+    idxi = jnp.stack([s[i] for s in sels for i in (0, 1)], 0).astype(jnp.int32)
+    idxf = jnp.stack([s[i] for s in sels for i in (2, 3)], 0).astype(jnp.float32)
+    (out,) = call(bases, *[s.phases for s in srcs], idxi, idxf)
+    # (nc, n_imgs*c_blk, hp, wp)
+
+    k_cap = _mixed_cap(nt)
+    res = []
+    for im in range(n_imgs):
+        fast = jnp.moveaxis(
+            jnp.concatenate(
+                [out[k, c_blk * im : c_blk * (im + 1)] for k in range(nc)], 0
+            ),
+            0, -1,
+        ).astype(dt)  # (hp, wp, C); zeros on this image's busted tiles
+        busted = ~fits[im].reshape(-1)
+        n_b = jnp.sum(busted.astype(jnp.int32))
+        img = srcs[im].img
+        co = coords[im]
+
+        def fast_path(_, fast=fast):
+            return fast[:h, :w]
+
+        def compact_path(_, fast=fast, busted=busted, img=img, co=co):
+            ids_c, ids_s = _topk_busted(busted, k_cap)
+            ct = _to_tiles(
+                jnp.moveaxis(_pad_coords_tiles(co, hp, wp), -1, 0), gy, gx, th, tw
+            )
+            sub = jnp.moveaxis(jnp.take(ct, ids_c, axis=0), 1, -1)
+            vals = bilinear_sample(img, sub.reshape(k_cap * th, tw, 2))
+            vals = jnp.moveaxis(
+                vals.reshape(k_cap, th, tw, C), -1, 1
+            )  # (K, C, th, tw)
+            fast_t = _to_tiles(jnp.moveaxis(fast, -1, 0), gy, gx, th, tw)
+            filled = fast_t.at[ids_s].set(vals.astype(dt), mode="drop")
+            return jnp.moveaxis(_from_tiles(filled, gy, gx, th, tw), 0, -1)[:h, :w]
+
+        def full_path(_, img=img, co=co):
+            return bilinear_sample(img, co)
+
+        res.append(
+            jax.lax.cond(
+                n_b == 0,
+                fast_path,
+                lambda op, c=compact_path, f=full_path, n=n_b: jax.lax.cond(
+                    n <= k_cap, c, f, op
+                ),
+                None,
+            )
+        )
+    return res
 
 
 def _fused_sample_map(srcs, coords, c_blk: int, nc: int, interpret: bool):
