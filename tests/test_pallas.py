@@ -235,7 +235,9 @@ def test_fused_sample_matches_gather(kind):
     assert _rel(bilinear_sample(i1, c1), s1) < 1e-5
 
 
-@pytest.mark.parametrize("bands", [1, 4, 16, "map", "mixed", "mixed_cap"])
+@pytest.mark.parametrize(
+    "bands", [1, 4, 16, "map", "mixed", "mixed_cap", "mixed_cap_site"]
+)
 def test_fused_sample_band_count_invariant(bands, monkeypatch):
     """Dispatch granularity (VMORPH_FALLBACK_BANDS band count, the
     VMORPH_SAMPLE_DISPATCH=map per-tile-row path, or the round-5 mixed
@@ -255,6 +257,11 @@ def test_fused_sample_band_count_invariant(bands, monkeypatch):
     elif bands == "mixed_cap":
         monkeypatch.setenv("VMORPH_SAMPLE_DISPATCH", "mixed")
         monkeypatch.setenv("VMORPH_MIXED_CAP", "0.03")
+    elif bands == "mixed_cap_site":
+        # the per-site override (round 5: the sampler default cap is
+        # 0.3125 while the warp keeps 7/16) must behave identically
+        monkeypatch.setenv("VMORPH_SAMPLE_DISPATCH", "mixed")
+        monkeypatch.setenv("VMORPH_MIXED_CAP_SAMPLE", "0.03")
     else:
         monkeypatch.setenv("VMORPH_FALLBACK_BANDS", str(bands))
     h, w = 256, 160  # 4 sampler tile rows

@@ -445,7 +445,17 @@ def _sample_prescreen() -> bool:
     return os.environ.get("VMORPH_SAMPLE_PRESCREEN", "0") not in ("", "0", "false")
 
 
-def _mixed_cap(n_tiles: int) -> int:
+# Measured on the chip at the north star (round 5, quarter-res inversion
+# in): sample cap 0.4375 -> 7.06 s wall, 0.3125 -> 6.50 s (render 2.54 ->
+# 2.06, the warm scan's advect samples ride along 3.03 -> 2.95), 0.25 ->
+# 8.89 s and 0.1875 -> 9.17 s (frames tip over the cap and pay the FULL
+# gather). The warp keeps 7/16: its fit is the union of both images'
+# coord maps on (64,256) tiles and 0.3125 measurably tipped it
+# (warm scan 3.03 -> 4.56 s).
+_MIXED_CAP_DEFAULTS = {"warp": 0.4375, "sample": 0.3125}
+
+
+def _mixed_cap(n_tiles: int, kind: str = "warp") -> int:
     """Static busted-tile budget of the mixed dispatch's compact fallback.
 
     The compact gather is sized for K tiles whether or not they are all
@@ -454,11 +464,20 @@ def _mixed_cap(n_tiles: int) -> int:
     gather; too large -> every mixed-path frame pays a K-tile gather.
     diag_blocks (round 5, north-star converged fields): 20-28% of tiles
     bust the v1 budgets roughly independent of granularity (the moving
-    blob's tap scatter is intrinsic), so the default cap is 43.75% (7/16)
-    of the frame's tiles. ``VMORPH_MIXED_CAP`` env (float fraction)
-    overrides for A/Bs; read at trace time.
+    blob's tap scatter is intrinsic). The cap is PER SITE (``kind``):
+    the halfway-warp pair busts on the union of both images' coordinate
+    maps at (64,256) tiles, and a 0.3125 cap measurably tipped north-star
+    warm/cold frames over it (warm scan 3.03 -> 4.56 s, full-gather
+    fallback) — the warp keeps 7/16; the one-coord-map sampler at
+    (64,128) tiles stays under smaller caps (render 2.76 -> 2.39 s at
+    0.3125, same A/B). ``VMORPH_MIXED_CAP_WARP`` / ``VMORPH_MIXED_CAP_SAMPLE``
+    env (float fraction) override per site, ``VMORPH_MIXED_CAP`` both;
+    read at trace time.
     """
-    frac = float(os.environ.get("VMORPH_MIXED_CAP", "0.4375"))
+    env = os.environ.get("VMORPH_MIXED_CAP_" + kind.upper()) or os.environ.get(
+        "VMORPH_MIXED_CAP"
+    )
+    frac = float(env) if env else _MIXED_CAP_DEFAULTS[kind]
     return max(1, min(n_tiles, int(-(-n_tiles * frac // 1))))
 
 
@@ -736,7 +755,7 @@ def _fused_warp_planes_mixed(src0, src1, c0, c1, interpret: bool) -> jnp.ndarray
 
     busted = ~fit_t.reshape(-1)
     n_b = jnp.sum(busted.astype(jnp.int32))
-    k_cap = _mixed_cap(nt)
+    k_cap = _mixed_cap(nt, "warp")
 
     def stack_planes(w0, dw0, w1, dw1):
         planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
@@ -1183,7 +1202,7 @@ def _fused_sample_mixed(srcs, coords, c_blk: int, nc: int, interpret: bool):
     (out,) = call(bases, *[s.phases for s in srcs], idxi, idxf)
     # (nc, n_imgs*c_blk, hp, wp)
 
-    k_cap = _mixed_cap(nt)
+    k_cap = _mixed_cap(nt, "sample")
     res = []
     for im in range(n_imgs):
         fast = jnp.moveaxis(

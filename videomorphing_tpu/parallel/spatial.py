@@ -308,13 +308,10 @@ def make_spatial_level_solver(
 
         # ------------- iteration loop (identical schedule to descent) ------
         relin = max(int(p.relin_every), 1)
-        v_ext0 = exchange(v_blk)
-        wb0 = make_state(v_ext0)
-        e0 = energy_fn(wb0, v_ext0)
         hist0 = jnp.full((n_iters,), jnp.nan, dtype)
 
         def cond(st):
-            _v, step_, _e, stall_, it_, _h = st
+            _v, step_, _e, stall_, it_, _h, _e0 = st
             return (it_ < n_iters) & (stall_ <= p.n_colors) & (step_ > p.min_step)
 
         # Two-level loop, same structure and rationale as descent.py: the
@@ -324,9 +321,14 @@ def make_spatial_level_solver(
         # the whole stack every iteration — the exact pattern descent
         # traced at ~2.4 ms/iter at 1080p and removed.
         def body_iter(wb_, st):
-            v_, step_, e_prev, stall_, it_, hist = st
+            v_, step_, e_prev, stall_, it_, hist, e0_ = st
             v_ext = exchange(v_)
             e_cur, grad, precond = grad_fn(wb_, v_ext)
+            # e0 = the energy at the initial field, captured on the first
+            # iteration (same restructure as descent.py: drops the eager
+            # pre-loop make_state + energy_eval — one less energy kernel
+            # per level; measured wall-neutral, see descent.body_iter)
+            e0_ = jnp.where(it_ == 0, e_cur, e0_)
 
             cmask = (parity == (it_ % p.n_colors)).astype(dtype)[..., None]
             d = (-grad / precond) * cmask * bmask
@@ -362,7 +364,7 @@ def make_spatial_level_solver(
             rel = (e_cur - e_new) / jnp.maximum(jnp.abs(e_cur), 1e-12)
             stall_new = jnp.where(rel < p.tol, stall_ + 1, 0)
             hist = hist.at[it_].set(e_new)
-            return v_new, step_new, e_new, stall_new, it_ + 1, hist
+            return v_new, step_new, e_new, stall_new, it_ + 1, hist, e0_
 
         def outer_body(st):
             it0 = st[4]
@@ -383,23 +385,24 @@ def make_spatial_level_solver(
                 v_med = v_blk_ + (median3x3(sl)[1:-1] - v_blk_) * bmask
                 v_blk_ = jnp.where(it0 > 0, v_med, v_blk_)
                 st = (v_blk_,) + st[1:]
-            wb_ = jax.lax.cond(
-                it0 > 0, lambda: make_state(exchange(v_blk_)), lambda: wb0
-            )
+            # unconditional (v_blk_ == the initial field at it0 == 0, the
+            # median above being skipped there) — see descent.outer_body
+            wb_ = make_state(exchange(v_blk_))
 
             def inner_cond(s):
                 return cond(s) & (s[4] < it0 + relin)
 
             return jax.lax.while_loop(inner_cond, lambda s: body_iter(wb_, s), st)
 
+        zero_e = jnp.zeros((), dtype)
         st0 = (
-            v_blk, jnp.asarray(p.init_step, dtype), e0,
-            jnp.int32(0), jnp.int32(0), hist0,
+            v_blk, jnp.asarray(p.init_step, dtype), zero_e,
+            jnp.int32(0), jnp.int32(0), hist0, zero_e,
         )
-        v_f, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(
+        v_f, step_f, e_f, _stall, it_f, hist_f, e0_f = jax.lax.while_loop(
             cond, outer_body, st0
         )
-        stats = LevelStats(e0=e0, e_final=e_f, iters=it_f, step=step_f, energy_history=hist_f)
+        stats = LevelStats(e0=e0_f, e_final=e_f, iters=it_f, step=step_f, energy_history=hist_f)
         return v_f, stats
 
     if batch_axis is None:

@@ -421,12 +421,20 @@ def make_level_solver(p: MorphParams, n_iters: int):
                 w0e, w1e = linearized_warps(wb_, v_)
                 return total_energy_planes(w0e, w1e, v_, data, p)
 
-        st0 = make_state(v)
-        e0 = energy_eval(st0, v)
+        if n_iters <= 0:
+            # degenerate static case: no iterations — report the energy at
+            # the initial field and return it unchanged
+            st0 = make_state(v)
+            e0 = energy_eval(st0, v)
+            return v, LevelStats(
+                e0=e0, e_final=e0, iters=jnp.int32(0),
+                step=jnp.asarray(p.init_step, v.dtype), energy_history=hist0,
+            )
+
         relin = max(int(p.relin_every), 1)
 
         def cond(state):
-            v_, step_, e_, stall_, it_, _hist = state
+            v_, step_, e_, stall_, it_, _hist, _e0 = state
             return (it_ < n_iters) & (stall_ <= p.n_colors) & (step_ > p.min_step)
 
         # Two-level loop: the OUTER body rebuilds the linearization state
@@ -435,8 +443,17 @@ def make_level_solver(p: MorphParams, n_iters: int):
         # carrying it through a per-iteration relin cond made XLA copy the
         # whole packed stack every iteration (~2.4 ms at 1080p, traced).
         def body_iter(st_, state):
-            v_, step_, e_, stall_, it_, hist = state
+            v_, step_, e_, stall_, it_, hist, e0_ = state
             e_cur, grad, precond = grad_eval(st_, v_)
+            # the pre-iteration energy at the initial field, recorded on the
+            # first iteration (grad_eval returns the energy at the current
+            # linearization point — at it_ == 0 that IS e0). Capturing it
+            # here lets the level run without an eager pre-loop make_state +
+            # energy_eval: one less energy kernel per level and no ~150 MB
+            # plane stack alive outside the loop (measured wall-neutral on
+            # chip — XLA had already deduplicated the eager state; PERF.md
+            # round 5 second session).
+            e0_ = jnp.where(it_ == 0, e_cur, e0_)
 
             cmask = color_mask(h, w, it_ % p.n_colors, p.n_colors, v_.dtype)
             d = (-grad / precond) * cmask * bmask
@@ -471,7 +488,7 @@ def make_level_solver(p: MorphParams, n_iters: int):
             rel_dec = (e_cur - e_new) / jnp.maximum(jnp.abs(e_cur), 1e-12)
             stall_new = jnp.where(rel_dec < p.tol, stall_ + 1, 0)
             hist = hist.at[it_].set(e_new)
-            return v_new, step_new, e_new, stall_new, it_ + 1, hist
+            return v_new, step_new, e_new, stall_new, it_ + 1, hist, e0_
 
         def outer_body(state):
             it0 = state[4]
@@ -488,9 +505,14 @@ def make_level_solver(p: MorphParams, n_iters: int):
                 v_med = v_blk + (median3x3(v_blk) - v_blk) * bmask
                 v_blk = jnp.where(it0 > 0, v_med, v_blk)
                 state = (v_blk,) + state[1:]
-            st_ = jax.lax.cond(
-                it0 > 0, lambda: make_state(v_blk), lambda: st0
-            )
+            # unconditional: at it0 == 0 this is the initial linearization
+            # (v_blk == v — the median above is skipped there), at later
+            # blocks the relin. Replaces a lax.cond(it0 > 0, ...) over an
+            # EAGER pre-loop st0; measured wall-neutral on chip (XLA had
+            # already deduplicated the eager state into the loop) but the
+            # graph is smaller and the loop-invariant stack no longer has
+            # an eager twin (PERF.md round 5 second session).
+            st_ = make_state(v_blk)
 
             def inner_cond(s):
                 return cond(s) & (s[4] < it0 + relin)
@@ -499,13 +521,14 @@ def make_level_solver(p: MorphParams, n_iters: int):
                 inner_cond, lambda s: body_iter(st_, s), state
             )
 
+        zero_e = jnp.zeros((), v.dtype)
         state0 = (
-            v, jnp.asarray(p.init_step, v.dtype), e0,
-            jnp.int32(0), jnp.int32(0), hist0,
+            v, jnp.asarray(p.init_step, v.dtype), zero_e,
+            jnp.int32(0), jnp.int32(0), hist0, zero_e,
         )
-        v_f, step_f, e_f, _stall, it_f, hist_f = jax.lax.while_loop(
+        v_f, step_f, e_f, _stall, it_f, hist_f, e0_f = jax.lax.while_loop(
             cond, outer_body, state0
         )
-        return v_f, LevelStats(e0=e0, e_final=e_f, iters=it_f, step=step_f, energy_history=hist_f)
+        return v_f, LevelStats(e0=e0_f, e_final=e_f, iters=it_f, step=step_f, energy_history=hist_f)
 
     return solve

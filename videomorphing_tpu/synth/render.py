@@ -42,13 +42,14 @@ def _resolve_fused(use_fused: Optional[bool]) -> bool:
     return bool(use_fused) and jax.default_backend() == "tpu"
 
 
-def _coarse_fixed_point(disp_c, qc, n: int, use_fused: bool):
+def _coarse_fixed_point(disp_c, qc, n: int, use_fused: bool, p0=None):
     """``n`` fixed-point iterations ``p <- q - disp(p)`` at coarse res.
 
     With ``use_fused`` the displacement is sampled by the Pallas fused
     sampler (one ``WarpSource`` built outside the loop) — gathers are
     index-count bound, so even the half-res iterations were ~45 ms each at
     4K; the fused path cuts each to a few ms on smooth displacement maps.
+    ``p0``: optional warm start (default: the identity grid ``qc``).
     """
     if use_fused:
         from videomorphing_tpu.pallas.warp import fused_sample, make_warp_source
@@ -64,7 +65,43 @@ def _coarse_fixed_point(disp_c, qc, n: int, use_fused: bool):
         def body_c(_, pc):
             return qc - bilinear_sample(disp_c, pc)
 
-    return jax.lax.fori_loop(0, n, body_c, qc)
+    return jax.lax.fori_loop(0, n, body_c, qc if p0 is None else p0)
+
+
+def _multiscale_start(disp, h: int, w: int, n_iters: int, fused: bool):
+    """Coarse-to-fine fixed-point start: the full-res ``p`` estimate fed to
+    the one full-resolution finishing sample of :func:`invert_path` /
+    :func:`invert_path_with_field`.
+
+    Gathers are index-count bound, so each level's iteration costs ~1/4 of
+    the level above. Two coarse levels when the frame allows it (round-5
+    trace: the half-res iterations were ~40% of the 1080p render phase):
+    quarter-res runs all but one of the coarse iterations (1/16 the
+    indices), half-res polishes once, full-res finishes once — ~1.5
+    full-res-equivalent gathers per inversion instead of ~2.25. The
+    displacement is TPS-smooth, so the quarter-res fixed point converges
+    the same and the finer polishes correct the residual locally (golden
+    midpoint + stressor analytic gates adjudicated the flip; PERF.md
+    round 5).
+    """
+    from videomorphing_tpu.ops.pyramid import downsample_2x
+
+    dtype = disp.dtype
+    hh, ww = -(-h // 2), -(-w // 2)
+    disp_h = downsample_2x(disp) * 0.5
+    qh = grid_coords(hh, ww, dtype=dtype)
+    if min(h, w) >= 256 and n_iters > 2:
+        hq, wq = -(-hh // 2), -(-ww // 2)
+        disp_q = downsample_2x(disp_h) * 0.5
+        qq = grid_coords(hq, wq, dtype=dtype)
+        pq = _coarse_fixed_point(disp_q, qq, n_iters - 2, fused)
+        corr_q = jax.image.resize(pq - qq, (hh, ww, 2), method="bilinear")
+        ph = _coarse_fixed_point(disp_h, qh, 1, fused, p0=qh + corr_q * 2.0)
+    else:
+        ph = _coarse_fixed_point(disp_h, qh, n_iters - 1, fused)
+    q = grid_coords(h, w, dtype=dtype)
+    corr = jax.image.resize(ph - qh, (h, w, 2), method="bilinear")
+    return q + corr * 2.0
 
 
 def invert_path(
@@ -93,16 +130,8 @@ def invert_path(
     disp = path_displacement(v, b, t)
 
     if multiscale and min(h, w) >= 128 and n_iters > 1:
-        from videomorphing_tpu.ops.pyramid import downsample_2x
-
-        hh, ww = -(-h // 2), -(-w // 2)
-        # coarse displacement: values rescaled to coarse-pixel units
-        disp_c = downsample_2x(disp) * 0.5
-        qc = grid_coords(hh, ww, dtype=v.dtype)
         fused = _resolve_fused(use_fused)
-        pc = _coarse_fixed_point(disp_c, qc, n_iters - 1, fused)
-        corr = jax.image.resize(pc - qc, (h, w, 2), method="bilinear")
-        p = q + corr * 2.0
+        p = _multiscale_start(disp, h, w, n_iters, fused)
         if fused:
             from videomorphing_tpu.pallas.warp import fused_sample
 
@@ -141,14 +170,7 @@ def invert_path_with_field(
     stacked = jnp.concatenate([disp, v], axis=-1)
 
     if multiscale and min(h, w) >= 128 and n_iters > 1:
-        from videomorphing_tpu.ops.pyramid import downsample_2x
-
-        hh, ww = -(-h // 2), -(-w // 2)
-        disp_c = downsample_2x(disp) * 0.5
-        qc = grid_coords(hh, ww, dtype=v.dtype)
-        pc = _coarse_fixed_point(disp_c, qc, n_iters - 1, _resolve_fused(use_fused))
-        corr = jax.image.resize(pc - qc, (h, w, 2), method="bilinear")
-        p = q + corr * 2.0
+        p = _multiscale_start(disp, h, w, n_iters, _resolve_fused(use_fused))
     else:
         def body(_, p_):
             return q - bilinear_sample(disp, p_)
