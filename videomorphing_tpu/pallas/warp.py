@@ -449,10 +449,19 @@ def _sample_prescreen() -> bool:
 # in): sample cap 0.4375 -> 7.06 s wall, 0.3125 -> 6.50 s (render 2.54 ->
 # 2.06, the warm scan's advect samples ride along 3.03 -> 2.95), 0.25 ->
 # 8.89 s and 0.1875 -> 9.17 s (frames tip over the cap and pay the FULL
-# gather). The warp keeps 7/16: its fit is the union of both images'
-# coord maps on (64,256) tiles and 0.3125 measurably tipped it
-# (warm scan 3.03 -> 4.56 s).
-_MIXED_CAP_DEFAULTS = {"warp": 0.4375, "sample": 0.3125}
+# gather). Warp: with the PER-IMAGE fit masks (each image fills its own
+# busted set instead of the union's), 0.4375 -> 6.53 s, 0.3125 -> 6.14 s
+# (warm scan 2.98 -> 2.66, cold 0.55 -> 0.49), 0.25 -> 7.98 s (over-cap
+# full gathers) — per-image busted fractions sit between 0.25 and 0.31
+# on converged north-star fields (the union needed 7/16). The 5/16 warp
+# cap is 1080p-CLASS ONLY: the same A/B at 4K went 26.8 -> 35.4 s
+# (field displacement values scale with resolution, so within-tile tap
+# spread doubles and 4K warps tip over 5/16); above ~1080p tile counts
+# the warp keeps 7/16 (same load-matched 4K run: 26.8 s). The sampler's
+# 0.3125 was 4K-neutral in those runs (busted ~0.4-1.8% at 4K render).
+_MIXED_CAP_DEFAULTS = {"warp": 0.3125, "sample": 0.3125}
+_MIXED_CAP_HIRES = {"warp": 0.4375, "sample": 0.3125}
+_MIXED_CAP_NT_1080P = 160  # warp tiles at 1080p = 17x8 = 136; 4K = 510
 
 
 def _mixed_cap(n_tiles: int, kind: str = "warp") -> int:
@@ -477,7 +486,12 @@ def _mixed_cap(n_tiles: int, kind: str = "warp") -> int:
     env = os.environ.get("VMORPH_MIXED_CAP_" + kind.upper()) or os.environ.get(
         "VMORPH_MIXED_CAP"
     )
-    frac = float(env) if env else _MIXED_CAP_DEFAULTS[kind]
+    if env:
+        frac = float(env)
+    elif n_tiles <= _MIXED_CAP_NT_1080P:
+        frac = _MIXED_CAP_DEFAULTS[kind]
+    else:
+        frac = _MIXED_CAP_HIRES[kind]
     return max(1, min(n_tiles, int(-(-n_tiles * frac // 1))))
 
 
@@ -733,14 +747,16 @@ def _fused_warp_planes_mixed(src0, src1, c0, c1, interpret: bool) -> jnp.ndarray
 
     p0 = _prep_image(c0[..., 0], c0[..., 1], h, w, gy, gx)
     p1 = _prep_image(c1[..., 0], c1[..., 1], h, w, gy, gx)
-    # one joint fit mask: the kernel computes both images per tile, so a
-    # tile busting for EITHER image is filled for both (simpler compact
-    # path; the extra fill work is bounded by the union)
-    fit_t = _tile_fits(p0, D, DX, gy, gx, TH, TW) & _tile_fits(
-        p1, D, DX, gy, gx, TH, TW
-    )
-    s0 = _mixed_select(p0, fit_t, gy, gx, TH, TW)
-    s1 = _mixed_select(p1, fit_t, gy, gx, TH, TW)
+    # PER-IMAGE fit masks (round 5, second session): the two coordinate
+    # maps bust different tiles, and the UNION fraction on converged
+    # north-star fields sits between 0.31 and 0.44 while each image's own
+    # fraction is smaller — a joint mask forced the 7/16 cap on both
+    # fills. The kernel sentinels per prep, so a tile can take kernel
+    # values for one image and the XLA fill for the other.
+    fit0 = _tile_fits(p0, D, DX, gy, gx, TH, TW)
+    fit1 = _tile_fits(p1, D, DX, gy, gx, TH, TW)
+    s0 = _mixed_select(p0, fit0, gy, gx, TH, TW)
+    s1 = _mixed_select(p1, fit1, gy, gx, TH, TW)
 
     call = _warp_call_cached(C, gy, gx, interpret)
     bases = jnp.stack(
@@ -753,48 +769,64 @@ def _fused_warp_planes_mixed(src0, src1, c0, c1, interpret: bool) -> jnp.ndarray
     (out,) = call(bases, src0.phases, src1.phases, idxi, idxf)
     out = out.astype(dt)  # (6C, hp, wp); zeros on busted tiles
 
-    busted = ~fit_t.reshape(-1)
-    n_b = jnp.sum(busted.astype(jnp.int32))
     k_cap = _mixed_cap(nt, "warp")
 
-    def stack_planes(w0, dw0, w1, dw1):
-        planes = [w0[..., c] for c in range(C)] + [w1[..., c] for c in range(C)]
-        for src in (dw0, dw1):
-            for c in range(C):
-                planes += [src[..., c, 0], src[..., c, 1]]
+    def _img_stack(wi, dwi):
+        """One image's plane stack in per-image order: C warped channels
+        then C (y, x) gradient pairs -> (3C, ..., ...)."""
+        planes = [wi[..., c] for c in range(C)]
+        for c in range(C):
+            planes += [dwi[..., c, 0], dwi[..., c, 1]]
         return jnp.stack(planes, 0)
 
-    def fast_path(_):
-        return out[:, :h, :w]
+    def _img_plane_ids(im: int):
+        """This image's plane rows in the canonical (6C, ...) stack
+        (w0 C, w1 C, dw0 2C, dw1 2C)."""
+        return list(range(im * C, (im + 1) * C)) + list(
+            range(2 * C + im * 2 * C, 2 * C + (im + 1) * 2 * C)
+        )
 
-    def compact_path(_):
-        ids_c, ids_s = _topk_busted(busted, k_cap)
+    def _image_result(im, img, co, fit_i):
+        """(3C, h, w) planes for one image: kernel output on fit tiles,
+        compact XLA fill (or over-cap full gather) on its own busted set."""
+        fast_i = out[jnp.asarray(_img_plane_ids(im))]   # (3C, hp, wp)
+        busted_i = ~fit_i.reshape(-1)
+        n_b = jnp.sum(busted_i.astype(jnp.int32))
 
-        def tile_coords(c):
+        def fast_path(_):
+            return fast_i[:, :h, :w]
+
+        def compact_path(_):
+            ids_c, ids_s = _topk_busted(busted_i, k_cap)
             ct = _to_tiles(
-                jnp.moveaxis(_pad_coords_tiles(c, hp, wp), -1, 0), gy, gx, TH, TW
+                jnp.moveaxis(_pad_coords_tiles(co, hp, wp), -1, 0), gy, gx, TH, TW
             )  # (nt, 2, TH, TW)
-            sub = jnp.take(ct, ids_c, axis=0)
-            return jnp.moveaxis(sub, 1, -1).reshape(k_cap * TH, TW, 2)
+            sub_co = jnp.moveaxis(
+                jnp.take(ct, ids_c, axis=0), 1, -1
+            ).reshape(k_cap * TH, TW, 2)
+            wi, dwi = bilinear_sample_with_grad(img, sub_co)
+            sub = _img_stack(wi, dwi)                   # (3C, K*TH, TW)
+            sub = jnp.moveaxis(sub.reshape(3 * C, k_cap, TH, TW), 0, 1)
+            fast_t = _to_tiles(fast_i, gy, gx, TH, TW)  # (nt, 3C, TH, TW)
+            filled = fast_t.at[ids_s].set(sub.astype(dt), mode="drop")
+            return _from_tiles(filled, gy, gx, TH, TW)[:, :h, :w]
 
-        w0, dw0 = bilinear_sample_with_grad(i0, tile_coords(c0))
-        w1, dw1 = bilinear_sample_with_grad(i1, tile_coords(c1))
-        sub = stack_planes(w0, dw0, w1, dw1)           # (6C, K*TH, TW)
-        sub = jnp.moveaxis(sub.reshape(6 * C, k_cap, TH, TW), 0, 1)
-        fast_t = _to_tiles(out, gy, gx, TH, TW)        # (nt, 6C, TH, TW)
-        filled = fast_t.at[ids_s].set(sub.astype(dt), mode="drop")
-        return _from_tiles(filled, gy, gx, TH, TW)[:, :h, :w]
+        def full_path(_):
+            wi, dwi = bilinear_sample_with_grad(img, co)
+            return _img_stack(wi, dwi)
 
-    def full_path(_):
-        w0, dw0 = bilinear_sample_with_grad(i0, c0)
-        w1, dw1 = bilinear_sample_with_grad(i1, c1)
-        return stack_planes(w0, dw0, w1, dw1)
+        return jax.lax.cond(
+            n_b == 0,
+            fast_path,
+            lambda op: jax.lax.cond(n_b <= k_cap, compact_path, full_path, op),
+            None,
+        )
 
-    return jax.lax.cond(
-        n_b == 0,
-        fast_path,
-        lambda op: jax.lax.cond(n_b <= k_cap, compact_path, full_path, op),
-        None,
+    r0 = _image_result(0, i0, c0, fit0)
+    r1 = _image_result(1, i1, c1, fit1)
+    # back to the canonical order: w0 C, w1 C, dw0 2C, dw1 2C
+    return jnp.concatenate(
+        [r0[:C], r1[:C], r0[C : 3 * C], r1[C : 3 * C]], axis=0
     )
 
 
