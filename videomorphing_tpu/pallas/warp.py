@@ -457,11 +457,16 @@ def _sample_prescreen() -> bool:
 # cap is 1080p-CLASS ONLY: the same A/B at 4K went 26.8 -> 35.4 s
 # (field displacement values scale with resolution, so within-tile tap
 # spread doubles and 4K warps tip over 5/16); above ~1080p tile counts
-# the warp keeps 7/16 (same load-matched 4K run: 26.8 s). The sampler's
-# 0.3125 was 4K-neutral in those runs (busted ~0.4-1.8% at 4K render).
+# BOTH sites keep 7/16 — the sampler tips at 4K too (quiet-machine 4K
+# bench: sample cap 5/16 -> 26.54 s, 7/16 -> 17.32 s; the warm scan's
+# advect samples on mid-convergence 4K fields bust past 5/16 and pay
+# ~0.6 s full-frame 4K gathers).
 _MIXED_CAP_DEFAULTS = {"warp": 0.3125, "sample": 0.3125}
-_MIXED_CAP_HIRES = {"warp": 0.4375, "sample": 0.3125}
-_MIXED_CAP_NT_1080P = 160  # warp tiles at 1080p = 17x8 = 136; 4K = 510
+_MIXED_CAP_HIRES = {"warp": 0.4375, "sample": 0.4375}
+# per-kind 1080p-class tile-count thresholds: warp tiles are (64,256)
+# (17x8 = 136 at 1080p, 510 at 4K), sampler tiles (64,128) (17x15 = 255
+# at 1080p, 1020 at 4K)
+_MIXED_CAP_NT_1080P = {"warp": 160, "sample": 320}
 
 
 def _mixed_cap(n_tiles: int, kind: str = "warp") -> int:
@@ -488,7 +493,7 @@ def _mixed_cap(n_tiles: int, kind: str = "warp") -> int:
     )
     if env:
         frac = float(env)
-    elif n_tiles <= _MIXED_CAP_NT_1080P:
+    elif n_tiles <= _MIXED_CAP_NT_1080P[kind]:
         frac = _MIXED_CAP_DEFAULTS[kind]
     else:
         frac = _MIXED_CAP_HIRES[kind]
